@@ -1,0 +1,353 @@
+"""Data layer: numpy-based datasets and batch loaders (host-side).
+
+TPU-native pipeline: data stays in numpy on the host, batches are
+assembled per-process (for multi-host, each process loads its shard) and
+device_put with the right sharding happens in the trainer — there is no
+framework-level "DataLoader over worker processes" because XLA wants
+large, static, ready batches, not per-sample Python workers.
+
+Capability parity:
+  ref: base/base_data_loader.py:7-64   (validation_split via seeded
+       shuffle + subset samplers; split_validation companion)
+  ref: data_loader/data_loaders.py:9-89 (MNIST/CIFAR10/CIFAR100/ImageNet
+       loaders, train/eval transforms, calibration subsampling
+       n_samples/random_sample)
+  ref: example/benchmark/benchmark.py:35-54 (synthetic dataset fixture)
+
+Real datasets load from local files (CIFAR python/binary pickles, MNIST
+idx, ImageNet folders via PIL); with no dataset on disk the synthetic
+dataset provides a learnable class-structured fixture so E2E train/PTQ
+tests run hermetically.
+"""
+
+from __future__ import annotations
+
+import gzip
+import pickle
+import struct
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+CIFAR_MEAN = np.array([0.4914, 0.4822, 0.4465], np.float32)
+CIFAR_STD = np.array([0.2470, 0.2435, 0.2616], np.float32)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class ArrayDataset:
+    """In-memory dataset: images (N,H,W,C) uint8/float32 + labels (N,)."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 mean=None, std=None, train_augment: bool = False,
+                 pad: int = 4):
+        assert len(images) == len(labels)
+        self.images = images
+        self.labels = np.asarray(labels, np.int32)
+        self.mean = mean
+        self.std = std
+        self.train_augment = train_augment
+        self.pad = pad
+
+    def __len__(self):
+        return len(self.images)
+
+    def get_batch(self, idx: np.ndarray, rng: Optional[np.random.Generator]
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        x = self.images[idx].astype(np.float32)
+        if x.max() > 2.0:      # uint8 range
+            x = x / 255.0
+        if self.train_augment and rng is not None:
+            x = self._augment(x, rng)
+        if self.mean is not None:
+            x = (x - self.mean) / self.std
+        return x, self.labels[idx]
+
+    def _augment(self, x, rng):
+        """Random crop (zero-pad) + horizontal flip — the reference's CIFAR
+        train transform (ref: data_loaders.py:24-31)."""
+        n, h, w, _ = x.shape
+        p = self.pad
+        xp = np.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        oy = rng.integers(0, 2 * p + 1, n)
+        ox = rng.integers(0, 2 * p + 1, n)
+        out = np.empty_like(x)
+        for i in range(n):
+            out[i] = xp[i, oy[i]:oy[i] + h, ox[i]:ox[i] + w]
+        flip = rng.random(n) < 0.5
+        out[flip] = out[flip, :, ::-1]
+        return out
+
+
+class DataLoader:
+    """Seeded, epoch-reshufflable batch iterator with validation split.
+
+    ref: base/base_data_loader.py:7-64
+    """
+
+    def __init__(self, dataset: ArrayDataset, batch_size: int = 128,
+                 shuffle: bool = True, validation_split: float = 0.0,
+                 drop_last: bool = True, seed: int = 0,
+                 indices: Optional[np.ndarray] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self._epoch = 0
+
+        if indices is not None:
+            self.indices = np.asarray(indices)
+            self._val_indices = None
+        else:
+            n = len(dataset)
+            all_idx = np.arange(n)
+            if validation_split:
+                n_val = (int(validation_split) if validation_split >= 1
+                         else int(n * validation_split))
+                rng = np.random.default_rng(0)   # deterministic split
+                rng.shuffle(all_idx)
+                self._val_indices = all_idx[:n_val]
+                self.indices = all_idx[n_val:]
+            else:
+                self.indices = all_idx
+                self._val_indices = None
+
+    def split_validation(self) -> Optional["DataLoader"]:
+        if self._val_indices is None:
+            return None
+        return DataLoader(self.dataset, self.batch_size, shuffle=False,
+                          indices=self._val_indices, drop_last=False)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    @property
+    def n_samples(self):
+        return len(self.indices)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = self.indices.copy()
+        rng = np.random.default_rng((self.seed, self._epoch))
+        if self.shuffle:
+            rng.shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            batch_idx = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            yield self.dataset.get_batch(
+                batch_idx, rng if self.dataset.train_augment else None)
+
+    def shard(self, process_index: int, process_count: int) -> "DataLoader":
+        """Per-host data sharding (replaces DistributedSampler,
+        ref: DDP_RootQ_train.py:81-97)."""
+        return DataLoader(self.dataset, self.batch_size, self.shuffle,
+                          indices=self.indices[process_index::process_count],
+                          drop_last=self.drop_last,
+                          seed=self.seed + process_index)
+
+
+# ---------------------------------------------------------------------------
+# dataset readers
+# ---------------------------------------------------------------------------
+
+def _load_cifar_python(data_dir: Path, train: bool, n_classes: int):
+    """CIFAR-10/100 python-pickle format."""
+    if n_classes == 10:
+        files = ([f"data_batch_{i}" for i in range(1, 6)] if train
+                 else ["test_batch"])
+        root = data_dir / "cifar-10-batches-py"
+        label_key = b"labels"
+    else:
+        files = ["train"] if train else ["test"]
+        root = data_dir / "cifar-100-python"
+        label_key = b"fine_labels"
+    xs, ys = [], []
+    for fn in files:
+        with open(root / fn, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xs.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        ys.extend(d[label_key])
+    return np.concatenate(xs), np.asarray(ys)
+
+
+def _synthetic_classification(n: int, image_size, num_classes: int,
+                              seed: int = 0):
+    """Learnable synthetic data: per-class mean patterns + noise.
+
+    A hermetic stand-in when no dataset exists on disk (zero-egress
+    environments); models can actually fit it, so train/PTQ accuracy
+    pipelines are exercisable end-to-end.
+    """
+    h, w, c = image_size
+    rng = np.random.default_rng(seed)
+    protos = rng.normal(0.5, 0.25, (num_classes, h, w, c)).astype(np.float32)
+    labels = rng.integers(0, num_classes, n)
+    images = protos[labels] + rng.normal(0, 0.25, (n, h, w, c))
+    return np.clip(images, 0, 1).astype(np.float32), labels
+
+
+def _subsample(images, labels, n_samples: Optional[int],
+               random_sample: bool, seed: int = 0):
+    """Calibration subsampling (ref: data_loaders.py:61-89)."""
+    if not n_samples or n_samples >= len(images):
+        return images, labels
+    if random_sample:
+        idx = np.random.default_rng(seed).choice(len(images), n_samples,
+                                                 replace=False)
+    else:
+        idx = np.arange(n_samples)
+    return images[idx], labels[idx]
+
+
+# ---------------------------------------------------------------------------
+# loader factories (the YAML-facing API; ref: data_loader/data_loaders.py)
+# ---------------------------------------------------------------------------
+
+def CIFAR10(data_dir: str = "data", batch_size: int = 128,
+            shuffle: bool = True, validation_split: float = 0.0,
+            training: bool = True, n_samples: Optional[int] = None,
+            random_sample: bool = False, num_workers: int = 0,
+            synthetic_fallback: bool = True, seed: int = 0,
+            _n_classes: int = 10) -> DataLoader:
+    root = Path(data_dir)
+    try:
+        images, labels = _load_cifar_python(root, training, _n_classes)
+    except (FileNotFoundError, OSError):
+        if not synthetic_fallback:
+            raise
+        images, labels = _synthetic_classification(
+            10000 if training else 2000, (32, 32, 3), _n_classes, seed)
+    images, labels = _subsample(images, labels, n_samples, random_sample,
+                                seed)
+    ds = ArrayDataset(images, labels, CIFAR_MEAN, CIFAR_STD,
+                      train_augment=training)
+    return DataLoader(ds, batch_size, shuffle and training,
+                      validation_split, drop_last=training, seed=seed)
+
+
+def CIFAR100(**kw) -> DataLoader:
+    return CIFAR10(_n_classes=100, **kw)
+
+
+def Mnist(data_dir: str = "data", batch_size: int = 128,
+          shuffle: bool = True, validation_split: float = 0.0,
+          training: bool = True, synthetic_fallback: bool = True,
+          num_workers: int = 0, seed: int = 0) -> DataLoader:
+    root = Path(data_dir) / "MNIST" / "raw"
+    prefix = "train" if training else "t10k"
+    try:
+        def read_idx(path):
+            op = gzip.open if str(path).endswith(".gz") else open
+            with op(path, "rb") as f:
+                magic, = struct.unpack(">I", f.read(4))
+                dims = [struct.unpack(">I", f.read(4))[0]
+                        for _ in range(magic & 0xFF)]
+                return np.frombuffer(f.read(), np.uint8).reshape(dims)
+
+        def find(stem):
+            for suffix in ("", ".gz"):
+                p = root / (stem + suffix)
+                if p.exists():
+                    return p
+            raise FileNotFoundError(stem)
+
+        images = read_idx(find(f"{prefix}-images-idx3-ubyte"))[..., None]
+        labels = read_idx(find(f"{prefix}-labels-idx1-ubyte"))
+    except (FileNotFoundError, OSError):
+        if not synthetic_fallback:
+            raise
+        images, labels = _synthetic_classification(
+            6000 if training else 1000, (28, 28, 1), 10, seed)
+    ds = ArrayDataset(images, labels,
+                      np.float32(0.1307), np.float32(0.3081))
+    return DataLoader(ds, batch_size, shuffle and training,
+                      validation_split, drop_last=training, seed=seed)
+
+
+def ImageNet(data_dir: str, batch_size: int = 64, shuffle: bool = True,
+             training: bool = True, size: int = 224,
+             n_samples: Optional[int] = None, random_sample: bool = False,
+             validation_split: float = 0.0, num_workers: int = 0,
+             synthetic_fallback: bool = True, seed: int = 0) -> DataLoader:
+    """ImageFolder reader (PIL), Resize(size/0.875)+CenterCrop eval
+    transform baked at load time.  ref: data_loaders.py:61-89.
+    """
+    split_dir = Path(data_dir) / ("train" if training else "val")
+    if split_dir.is_dir():
+        from PIL import Image
+        classes = sorted(p.name for p in split_dir.iterdir() if p.is_dir())
+        cls_idx = {c: i for i, c in enumerate(classes)}
+        paths, labels = [], []
+        for c in classes:
+            for p in sorted((split_dir / c).iterdir()):
+                paths.append(p)
+                labels.append(cls_idx[c])
+        paths = np.array(paths, dtype=object)
+        labels = np.asarray(labels)
+        if n_samples:
+            idx = (np.random.default_rng(seed).choice(
+                len(paths), n_samples, replace=False)
+                if random_sample else np.arange(n_samples))
+            paths, labels = paths[idx], labels[idx]
+        resize = int(size / 0.875)
+        imgs = np.empty((len(paths), size, size, 3), np.uint8)
+        for i, p in enumerate(paths):
+            im = Image.open(p).convert("RGB")
+            w, h = im.size
+            scale = resize / min(w, h)
+            im = im.resize((round(w * scale), round(h * scale)),
+                           Image.BILINEAR)
+            w, h = im.size
+            left, top = (w - size) // 2, (h - size) // 2
+            imgs[i] = np.asarray(im.crop((left, top, left + size,
+                                          top + size)))
+        images = imgs
+    else:
+        if not synthetic_fallback:
+            raise FileNotFoundError(split_dir)
+        images, labels = _synthetic_classification(
+            n_samples or (2048 if training else 1024), (size, size, 3),
+            1000, seed)
+    ds = ArrayDataset(images, labels, IMAGENET_MEAN, IMAGENET_STD,
+                      train_augment=training)
+    return DataLoader(ds, batch_size, shuffle and training,
+                      validation_split, drop_last=training, seed=seed)
+
+
+def Synthetic(batch_size: int = 64, image_size: int = 224,
+              num_classes: int = 1000, length: int = 1281167,
+              materialized: int = 4096, training: bool = True,
+              seed: int = 0, **_kw) -> DataLoader:
+    """Random-image benchmark dataset (ref: benchmark.py:35-54 _MyDataset);
+    ``length`` is the virtual epoch length, ``materialized`` the number of
+    distinct samples actually held in memory.
+    """
+    images, labels = _synthetic_classification(
+        min(materialized, length), (image_size, image_size, 3), num_classes,
+        seed)
+    ds = ArrayDataset(images, labels, IMAGENET_MEAN, IMAGENET_STD)
+    return DataLoader(ds, batch_size, shuffle=training, seed=seed)
+
+
+DATALOADERS = {
+    "Mnist": Mnist,
+    "CIFAR10": CIFAR10,
+    "CIFAR100": CIFAR100,
+    "ImageNet": ImageNet,
+    "Synthetic": Synthetic,
+}
+
+
+def get_dataloader(name: str, **kwargs) -> DataLoader:
+    try:
+        return DATALOADERS[name](**kwargs)
+    except KeyError:
+        raise ValueError(
+            f"unknown dataloader {name!r}; known: "
+            f"{sorted(DATALOADERS)}") from None

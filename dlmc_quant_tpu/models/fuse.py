@@ -1,0 +1,122 @@
+"""Reparameterization transforms: BN folding and RepVGG branch fusion.
+
+Pure pytree→pytree weight algebra — the TPU-native replacement for the
+reference's in-place module mutation (``switch_to_deploy`` ref:
+model/classification/repvgg.py:132-147; ``merge_bn`` ref:
+dlmc/utils/merge_bn.py:45-113).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax
+
+BN_EPS = 1e-5
+
+
+def fold_conv_bn(kernel, bias, gamma, beta, mean, var, eps: float = BN_EPS):
+    """Fold BatchNorm(γ,β,μ,σ²) into a conv kernel/bias (HWIO layout).
+
+    ``k' = k·γ/σ`` per output channel, ``b' = β + (b − μ)·γ/σ``.
+    ref: merge_bn.py:64-111 (same algebra, torch OIHW there).
+    """
+    std = jnp.sqrt(var + eps)
+    t = gamma / std                                     # (O,)
+    kernel = kernel * t.reshape((1,) * (kernel.ndim - 1) + (-1,))
+    if bias is None:
+        bias = jnp.zeros_like(mean)
+    return kernel, beta + (bias - mean) * t
+
+
+def _bn_only_to_conv(gamma, beta, mean, var, in_features: int, groups: int,
+                     eps: float = BN_EPS):
+    """Express an identity-BN branch as an equivalent 3×3 conv (HWIO).
+
+    ref: repvgg.py:104-130 (identity-as-3×3-kernel construction).
+    """
+    out_features = gamma.shape[0]
+    ig = in_features // groups
+    kernel = jnp.zeros((3, 3, ig, out_features))
+    o = jnp.arange(out_features)
+    kernel = kernel.at[1, 1, o % ig, o].set(1.0)
+    return fold_conv_bn(kernel, None, gamma, beta, mean, var, eps)
+
+
+def _pad_1x1_to_3x3(kernel):
+    """Center a 1×1 kernel in a 3×3 (HWIO).  ref: repvgg.py:98-102"""
+    return jnp.pad(kernel, ((1, 1), (1, 1), (0, 0), (0, 0)))
+
+
+def fuse_repvgg_block(block_params, block_stats, in_features: int,
+                      groups: int = 1):
+    """Fuse one RepVGG block's three branches into (kernel3x3, bias).
+
+    ref: repvgg.py:92-130 (get_equivalent_kernel_bias / _fuse_bn_tensor)
+    """
+    def bn(name):
+        p, s = block_params[name], block_stats[name]
+        return p["scale"], p["bias"], s["mean"], s["var"]
+
+    k3, b3 = fold_conv_bn(block_params["rbr_dense"]["kernel"], None,
+                          *bn("rbr_dense_bn"))
+    k1, b1 = fold_conv_bn(_pad_1x1_to_3x3(block_params["rbr_1x1"]["kernel"]),
+                          None, *bn("rbr_1x1_bn"))
+    kernel, bias = k3 + k1, b3 + b1
+    if "rbr_identity" in block_params:
+        kid, bid = _bn_only_to_conv(*bn("rbr_identity"), in_features, groups)
+        kernel, bias = kernel + kid, bias + bid
+    return kernel, bias
+
+
+def repvgg_fuse(model, variables, example_input, rngs=None):
+    """Train-form RepVGG → deploy-form (model, variables).
+
+    Walks every block subtree in ``variables``, fuses branches, and
+    populates a ``deploy=True`` model's variable tree (quantizer params,
+    if a scheme is attached, are freshly initialized — calibrate after
+    fusing, as the reference pipeline does:
+    ref: example/quantization/FSPTQuant.py:65-80).
+    """
+    deploy_model = dataclasses.replace(model, deploy=True)
+    key = rngs if rngs is not None else jax.random.PRNGKey(0)
+    deploy_vars = deploy_model.init(key, example_input)
+    deploy_vars = flax.core.unfreeze(deploy_vars)
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    new_params = flax.core.unfreeze(deploy_vars["params"])
+
+    gmap = model.override_groups_map or {}
+    widths = [int(64 * model.width_multiplier[0]),
+              int(128 * model.width_multiplier[1]),
+              int(256 * model.width_multiplier[2]),
+              int(512 * model.width_multiplier[3])]
+
+    def fuse_into(name, in_features, groups):
+        k, b = fuse_repvgg_block(params[name], stats[name], in_features,
+                                 groups)
+        new_params[name]["reparam"]["kernel"] = k
+        new_params[name]["reparam"]["bias"] = b
+        if "se" in params[name]:
+            new_params[name]["se"] = params[name]["se"]
+
+    in_f = example_input.shape[-1]
+    stage0_w = min(64, int(64 * model.width_multiplier[0]))
+    fuse_into("stage0", in_f, 1)
+    prev_w = stage0_w
+    layer_idx = 1
+    for si, (n, w) in enumerate(zip(model.num_blocks, widths), start=1):
+        for bi in range(n):
+            groups = gmap.get(layer_idx, 1)
+            fuse_into(f"stage{si}_{bi}", prev_w, groups)
+            prev_w = w
+            layer_idx += 1
+    new_params["linear"] = params["linear"]
+
+    deploy_vars["params"] = new_params
+    deploy_vars.pop("batch_stats", None)
+    return deploy_model, deploy_vars

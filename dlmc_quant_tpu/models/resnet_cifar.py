@@ -1,0 +1,168 @@
+"""CIFAR ResNets (NHWC, flax): resnet20..1202 and resnet18..152 variants.
+
+Capability parity with the reference's CIFAR zoo:
+  ref: model/classification/cifarresnet.py (20/32/44/56/110/1202,
+       3-stage 16/32/64 widths, option-A/B shortcuts)
+  ref: model/classification/cifarresnet_large.py (18/34/50/101/152,
+       ImageNet-style blocks with a 3×3 CIFAR stem)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dlmc_quant_tpu.models.registry import register
+from dlmc_quant_tpu.quant.config import QuantScheme
+from dlmc_quant_tpu.quant.layers import QConv, QDense
+
+
+def _bn(train, name):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
+
+
+class BasicBlock(nn.Module):
+    """3×3 + 3×3 residual block.  ref: cifarresnet.py BasicBlock."""
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    option: str = "B"  # 'A' = pad shortcut (CIFAR), 'B' = 1x1 conv
+    scheme: Optional[QuantScheme] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, qmode: str = "eval"):
+        residual = x
+        y = QConv(self.features, (3, 3), self.strides, use_bias=False,
+                  name="conv1", scheme=self.scheme)(x, qmode=qmode)
+        y = _bn(train, "bn1")(y)
+        y = nn.relu(y)
+        y = QConv(self.features, (3, 3), use_bias=False,
+                  name="conv2", scheme=self.scheme)(y, qmode=qmode)
+        y = _bn(train, "bn2")(y)
+        if self.strides != (1, 1) or x.shape[-1] != self.features:
+            if self.option == "A":
+                # parameter-free: stride-subsample + zero-pad channels
+                residual = x[:, ::self.strides[0], ::self.strides[1], :]
+                pad = self.features - x.shape[-1]
+                residual = jnp.pad(
+                    residual, ((0, 0), (0, 0), (0, 0),
+                               (pad // 2, pad - pad // 2)))
+            else:
+                residual = QConv(self.features, (1, 1), self.strides,
+                                 use_bias=False, name="downsample",
+                                 scheme=self.scheme)(x, qmode=qmode)
+                residual = _bn(train, "downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1×1-3×3-1×1 bottleneck (expansion 4).  ref: cifarresnet_large.py."""
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    scheme: Optional[QuantScheme] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, qmode: str = "eval"):
+        out_features = self.features * self.expansion
+        residual = x
+        y = QConv(self.features, (1, 1), use_bias=False, name="conv1",
+                  scheme=self.scheme)(x, qmode=qmode)
+        y = nn.relu(_bn(train, "bn1")(y))
+        y = QConv(self.features, (3, 3), self.strides, use_bias=False,
+                  name="conv2", scheme=self.scheme)(y, qmode=qmode)
+        y = nn.relu(_bn(train, "bn2")(y))
+        y = QConv(out_features, (1, 1), use_bias=False, name="conv3",
+                  scheme=self.scheme)(y, qmode=qmode)
+        y = _bn(train, "bn3")(y)
+        if self.strides != (1, 1) or x.shape[-1] != out_features:
+            residual = QConv(out_features, (1, 1), self.strides,
+                             use_bias=False, name="downsample",
+                             scheme=self.scheme)(x, qmode=qmode)
+            residual = _bn(train, "downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class CifarResNet(nn.Module):
+    """3-stage CIFAR ResNet (widths 16/32/64).  ref: cifarresnet.py."""
+    depth_n: int = 3                       # blocks per stage; depth = 6n+2
+    num_classes: int = 10
+    option: str = "A"
+    scheme: Optional[QuantScheme] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, qmode: str = "eval"):
+        x = QConv(16, (3, 3), use_bias=False, name="conv1",
+                  scheme=self.scheme)(x, qmode=qmode)
+        x = nn.relu(_bn(train, "bn1")(x))
+        for si, w in enumerate((16, 32, 64), start=1):
+            for bi in range(self.depth_n):
+                strides = (2, 2) if (bi == 0 and si > 1) else (1, 1)
+                x = BasicBlock(w, strides, option=self.option,
+                               name=f"layer{si}_{bi}",
+                               scheme=self.scheme)(x, train=train,
+                                                   qmode=qmode)
+        x = jnp.mean(x, axis=(1, 2))
+        return QDense(self.num_classes, name="linear",
+                      scheme=self.scheme)(x, qmode=qmode)
+
+
+class CifarResNetLarge(nn.Module):
+    """ImageNet-style ResNet with CIFAR 3×3 stem.
+
+    ref: cifarresnet_large.py (18/34 BasicBlock, 50/101/152 Bottleneck).
+    """
+    stage_sizes: Tuple[int, ...] = (2, 2, 2, 2)
+    bottleneck: bool = False
+    num_classes: int = 10
+    scheme: Optional[QuantScheme] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, qmode: str = "eval"):
+        x = QConv(64, (3, 3), use_bias=False, name="conv1",
+                  scheme=self.scheme)(x, qmode=qmode)
+        x = nn.relu(_bn(train, "bn1")(x))
+        block = Bottleneck if self.bottleneck else BasicBlock
+        for si, (n, w) in enumerate(zip(self.stage_sizes,
+                                        (64, 128, 256, 512)), start=1):
+            for bi in range(n):
+                strides = (2, 2) if (bi == 0 and si > 1) else (1, 1)
+                x = block(w, strides, name=f"layer{si}_{bi}",
+                          scheme=self.scheme)(x, train=train, qmode=qmode)
+        x = jnp.mean(x, axis=(1, 2))
+        return QDense(self.num_classes, name="linear",
+                      scheme=self.scheme)(x, qmode=qmode)
+
+
+def _small(name, n):
+    @register(name)
+    def fn(num_classes: int = 10, scheme=None, option: str = "A", **kw):
+        return CifarResNet(depth_n=n, num_classes=num_classes,
+                           option=option, scheme=scheme, **kw)
+    fn.__name__ = name
+    return fn
+
+
+def _large(name, sizes, bottleneck):
+    @register(name)
+    def fn(num_classes: int = 10, scheme=None, **kw):
+        return CifarResNetLarge(stage_sizes=sizes, bottleneck=bottleneck,
+                                num_classes=num_classes, scheme=scheme, **kw)
+    fn.__name__ = name
+    return fn
+
+
+cifar_resnet20 = _small("cifar_resnet20", 3)
+cifar_resnet32 = _small("cifar_resnet32", 5)
+cifar_resnet44 = _small("cifar_resnet44", 7)
+cifar_resnet56 = _small("cifar_resnet56", 9)
+cifar_resnet110 = _small("cifar_resnet110", 18)
+cifar_resnet1202 = _small("cifar_resnet1202", 200)
+
+cifar_resnet18 = _large("cifar_resnet18", (2, 2, 2, 2), False)
+cifar_resnet34 = _large("cifar_resnet34", (3, 4, 6, 3), False)
+cifar_resnet50 = _large("cifar_resnet50", (3, 4, 6, 3), True)
+cifar_resnet101 = _large("cifar_resnet101", (3, 4, 23, 3), True)
+cifar_resnet152 = _large("cifar_resnet152", (3, 8, 36, 3), True)

@@ -1,0 +1,107 @@
+"""Real integer execution: deploy-form quantized inference.
+
+The reference only *emulates* quantization in fp32
+(quantize→clamp→dequantize→F.conv2d, ref: modules/base.py:96-140); here
+quantized models execute with true int8 tensors on the MXU:
+
+* ``prepare_deploy(model, variables)`` runs a ``qmode='deploy_prep'``
+  pass: every quantized layer converts its calibrated affine quantizers
+  into an integer execution plan stored in the ``qint`` collection —
+  int8 weights (HWIO), per-channel weight scales, window column-sums,
+  activation scale/offset, the zero-point pad value, and an effective
+  bias with all zero-point corrections folded in.
+* ``qmode='int'`` then runs: quantize act → int8 conv/matmul (int32
+  accumulate) → fp32 scale epilogue.  Convs use zero-point padding +
+  VALID so the correction term is a constant per output channel and
+  lives entirely in the folded bias (no runtime correction).
+
+Math (per layer, activation affine x ≈ (x_i8 + 128)·s_x + o_x with
+x_i8 ∈ int8, symmetric per-channel weights w ≈ w_i8 · s_w):
+
+    Σ x·w = s_x·s_w·(x_i8 ⋆ w_i8)  +  (128·s_x + o_x)·s_w·colsum
+
+so ``bias_eff = bias + (128·s_x + o_x)·s_w·colsum`` and the int path is
+one int8 contraction plus one fp multiply-add.  Borders are padded with
+``pad_i8 = round((0 - o_x)/s_x) - 128`` (the int8 code for real 0), which
+keeps the colsum correction exact under padding.
+
+Restrictions (fallback to fake-quant otherwise): per-tensor activation
+quantizers, per-tensor or per-output-channel symmetric weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_from_quantizer(family: str, cfg, params: Dict, qstate: Dict,
+                          role: str):
+    """Reduce any calibrated quantizer to a float affine (scale, offset).
+
+    role ∈ {'weight', 'input'}.  Returns (scale, offset) such that the
+    fake-quant output lives on the grid ``q*scale + offset`` with
+    ``q ∈ [qmin, qmax]``.
+    """
+    if family == "rootq":
+        if role == "input":
+            s = qstate["in_run_scale"]
+            return s, jnp.zeros(())
+        u, l = qstate["wt_run_upper"], qstate["wt_run_lower"]
+        qmin, qmax = cfg.qrange
+        s = (u - l) / float(qmax - qmin)
+        return s, l - qmin * s           # value = (idx+?); grid offset
+    if family == "fsptq":
+        if role == "input":
+            s = params["in_scale"]
+            zp = qstate.get("in_offset", jnp.zeros(()))
+            return s, -zp * s
+        return params["wt_scale"], jnp.zeros_like(params["wt_scale"])
+    # LSQ / plain family: float-offset convention
+    if role == "input":
+        return params["in_scale"], qstate.get("in_offset", jnp.zeros(()))
+    return params["wt_scale"], qstate.get("wt_offset",
+                                          jnp.zeros_like(params["wt_scale"]))
+
+
+def quantize_weight_int(kernel, scale, qmin: int, qmax: int,
+                        ch_axis: int = -1):
+    """kernel (HWIO/IO fp32) → int8 on the symmetric per-channel grid."""
+    if scale.ndim == 0:
+        s = scale
+    else:
+        bshape = [1] * kernel.ndim
+        bshape[ch_axis] = -1
+        s = scale.reshape(bshape)
+    w_int = jnp.clip(jnp.round(kernel / s), qmin, qmax)
+    return w_int.astype(jnp.int8)
+
+
+def act_shift(qmax: int) -> int:
+    """int8 recentering shift: unsigned 8-bit grids ([0,255]) shift by
+    128 so codes fit int8; everything else fits directly."""
+    return 128 if qmax > 127 else 0
+
+
+def act_to_int8(x, s_x, o_x, qmin: int, qmax: int):
+    """Quantize activations to int8 codes:
+    x ≈ (x_i8 + shift)·s_x + o_x with shift = act_shift(qmax)."""
+    shift = act_shift(qmax)
+    q = jnp.clip(jnp.round((x - o_x) / s_x), qmin, qmax) - shift
+    return q.astype(jnp.int8), shift
+
+
+def int8_pad_value(s_x, o_x, qmin: int, qmax: int):
+    """int8 code representing real value 0 (used as conv padding)."""
+    return (jnp.clip(jnp.round(-o_x / s_x), qmin, qmax)
+            - act_shift(qmax)).astype(jnp.int8)
+
+
+def prepare_deploy(model, variables, **apply_kw):
+    """Run the deploy_prep pass; returns variables + 'qint' collection."""
+    sample = apply_kw.pop("sample_input")
+    _, upd = model.apply(variables, sample, qmode="deploy_prep",
+                         mutable=["qint", "qstate"], **apply_kw)
+    return {**variables, "qint": upd["qint"]}

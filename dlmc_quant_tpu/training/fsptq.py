@@ -1,0 +1,229 @@
+"""FSPTQ / RepAPQ reconstruction trainer.
+
+Per-layer/per-block output reconstruction for (branch-fused) PTQ models:
+cache the FP teacher's block outputs and the quantized student's block
+inputs over a calibration set, then per block run a short Adam + cosine
+loop training only quantizer scales (and AdaRound alphas / weights at
+tiny LR) against the L2 reconstruction objective — "within several
+minutes".
+
+ref: trainer/fsptq_trainer.py:28-161 (capture hooks, per-group LRs,
+random-64 minibatches, cosine schedule, final validation), and
+example/quantization/FSPTQuant.py:98-107 (block_dict wiring).
+
+TPU design notes: capture uses ``nn.intercept_methods`` (the functional
+equivalent of torch forward hooks); the inner loop is one jitted step
+over cached activation tensors that live on device; blocks are trained
+in topological order so later blocks reconstruct against the already-
+quantized earlier ones, exactly like the reference's sequential walk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dlmc_quant_tpu.training.losses import l2_loss
+from dlmc_quant_tpu.training.schedulers import CosineAnnealingLR
+from dlmc_quant_tpu.utils.logging import get_logger
+
+# per-param-group LRs (ref: fsptq_trainer.py:136-152 generate_optimizer)
+DEFAULT_GROUP_LRS = {
+    "kernel": 1e-5,
+    "bias": 1e-5,
+    "scale_like": 1e-3,      # wt_scale / in_scale / alpha
+    "bn": 0.1,               # BatchNorm scale/bias
+}
+
+DEFAULT_BLOCK_TYPES = ("RepVGGBlock", "BasicBlock", "Bottleneck",
+                       "MobileOneBlock")
+DEFAULT_LAYER_NAMES = ("conv1", "linear", "reparam")
+
+
+def _get_subtree(tree, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        if node is None or p not in node:
+            return {}
+        node = node[p]
+    return node
+
+
+def _set_subtree(tree, path: Tuple[str, ...], value):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    node[path[-1]] = value
+
+
+def discover_blocks(model, variables, sample_x,
+                    block_types: Sequence[str] = DEFAULT_BLOCK_TYPES,
+                    layer_names: Sequence[str] = DEFAULT_LAYER_NAMES,
+                    **apply_kw) -> List[Tuple[Tuple[str, ...], nn.Module]]:
+    """Find reconstruction targets: top-level modules whose type name is
+    in ``block_types`` or whose name is in ``layer_names``; returns
+    (path, unbound module clone) in call order.
+    ref: fsptq_trainer.py:37-45 + FSPTQuant.py:102
+    """
+    found: Dict[Tuple[str, ...], nn.Module] = {}
+    order: List[Tuple[str, ...]] = []
+
+    def interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        path = tuple(str(p) for p in mod.path)
+        if path and (type(mod).__name__ in block_types
+                     or path[-1] in layer_names):
+            # record only outermost matching modules
+            if not any(path[:len(p)] == p for p in found if len(p) < len(path)):
+                if path not in found:
+                    found[path] = mod.clone(parent=None)
+                    order.append(path)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        model.apply(variables, sample_x, qmode="fp", **apply_kw)
+    return [(p, found[p]) for p in order]
+
+
+def capture_block_io(model, variables, batches, target: Tuple[str, ...],
+                     qmode: str, **apply_kw):
+    """Run the model over ``batches`` capturing (input, output) of the
+    target module.  ref: fsptq_trainer.py:46-67 (hook caching loop).
+    """
+    ins, outs = [], []
+
+    def interceptor(next_fn, args, kwargs, context):
+        path = tuple(str(p) for p in context.module.path)
+        out = next_fn(*args, **kwargs)
+        if path == target:
+            ins.append(args[0])
+            outs.append(out)
+        return out
+
+    for xb in batches:
+        with nn.intercept_methods(interceptor):
+            model.apply(variables, xb, qmode=qmode, **apply_kw)
+    return jnp.concatenate(ins), jnp.concatenate(outs)
+
+
+def _group_label(path: Tuple[str, ...]) -> str:
+    leaf = path[-1]
+    if leaf in ("kernel",):
+        return "kernel"
+    if leaf in ("bias",) and "bn" not in "/".join(path).lower():
+        return "bias"
+    if leaf in ("scale",):      # BatchNorm scale
+        return "bn"
+    return "scale_like"          # wt_scale / in_scale / alpha / bounds
+
+
+def reconstruct_block(block: nn.Module, block_vars: Dict, x_cache, y_fp,
+                      iters: int = 2000, batch_size: int = 64,
+                      lrs: Optional[Dict[str, float]] = None,
+                      seed: int = 0, train_qmode: str = "train"):
+    """Adam + cosine reconstruction of one block against cached FP outputs.
+
+    ref: fsptq_trainer.py:76-103
+    """
+    lrs = {**DEFAULT_GROUP_LRS, **(lrs or {})}
+    params = block_vars["params"]
+
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = flax.traverse_util.unflatten_dict(
+        {p: _group_label(p) for p in flat})
+    sched = {g: CosineAnnealingLR(lr, cycle_steps=iters)
+             for g, lr in lrs.items()}
+    tx = optax.multi_transform(
+        {g: optax.adam(sched[g]) for g in lrs}, labels)
+    opt_state = tx.init(params)
+
+    rest = {k: v for k, v in block_vars.items() if k != "params"}
+    n = x_cache.shape[0]
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        def loss_fn(p):
+            out = block.apply({"params": p, **rest}, x_cache[idx],
+                              qmode=train_qmode)
+            return l2_loss(out, y_fp[idx])
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    loss = jnp.inf
+    for it in range(iters):
+        idx = jnp.asarray(rng.choice(n, min(batch_size, n), replace=False))
+        params, opt_state, loss = step(params, opt_state, idx)
+    return params, float(loss)
+
+
+class FSPTQTrainer:
+    """Orchestrates RepAPQ reconstruction over all blocks.
+
+    ref: trainer/fsptq_trainer.py:28-161.  The student must already be
+    calibrated (explicit calibrate pass, replacing the reference's lazy
+    init inside the capture forward).
+    """
+
+    def __init__(self, model, variables, fp_model, fp_variables,
+                 cal_batches, iters: int = 2000, batch_size: int = 64,
+                 lrs: Optional[Dict[str, float]] = None,
+                 block_types: Sequence[str] = DEFAULT_BLOCK_TYPES,
+                 layer_names: Sequence[str] = DEFAULT_LAYER_NAMES,
+                 logger=None, disable_first_act_quant: bool = False):
+        self.model = model
+        self.variables = flax.core.unfreeze(variables)
+        self.fp_model = fp_model
+        self.fp_variables = fp_variables
+        self.cal_batches = [jnp.asarray(b) for b in cal_batches]
+        self.iters = iters
+        self.batch_size = batch_size
+        self.lrs = lrs
+        self.block_types = block_types
+        self.layer_names = layer_names
+        self.logger = logger or get_logger("fsptq")
+        # ref: fsptq_trainer.py:155-161 change_model_state disables
+        # activation quant on the first conv — expressed here through the
+        # scheme's exclude/override instead (caller responsibility); flag
+        # kept for API parity.
+        self.disable_first_act_quant = disable_first_act_quant
+
+    def train(self) -> Dict:
+        t0 = time.time()
+        targets = discover_blocks(self.model, self.variables,
+                                  self.cal_batches[0],
+                                  self.block_types, self.layer_names)
+        self.logger.info("reconstructing %d blocks: %s", len(targets),
+                         [".".join(p) for p, _ in targets])
+        losses = {}
+        for path, block in targets:
+            x_cache, _ = capture_block_io(
+                self.model, self.variables, self.cal_batches, path,
+                qmode="eval")
+            _, y_fp = capture_block_io(
+                self.fp_model, self.fp_variables, self.cal_batches, path,
+                qmode="fp")
+            block_vars = {
+                "params": _get_subtree(self.variables["params"], path)}
+            for col in ("qstate", "batch_stats"):
+                sub = _get_subtree(self.variables.get(col, {}), path)
+                if sub:
+                    block_vars[col] = sub
+            new_params, loss = reconstruct_block(
+                block, block_vars, x_cache, y_fp, self.iters,
+                self.batch_size, self.lrs)
+            _set_subtree(self.variables["params"], path, new_params)
+            losses[".".join(path)] = loss
+            self.logger.info("block %-16s recon l2=%.5f",
+                             ".".join(path), loss)
+        self.logger.info("reconstruction done in %.1fs", time.time() - t0)
+        return {"variables": self.variables, "block_losses": losses}

@@ -1,0 +1,123 @@
+"""Post-training quantization pipeline: calibrate → evaluate → save.
+
+The E2E equivalent of the reference's PTQ entry point
+(ref: example/quantization/post_training_quantization.py:22-101), with
+calibration as an explicit jitted pass instead of lazy first-forward
+init, and evaluation as a single jitted step function mapped over
+batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dlmc_quant_tpu.data import get_dataloader
+from dlmc_quant_tpu.models import get_model
+from dlmc_quant_tpu.quant.config import scheme_from_dict
+from dlmc_quant_tpu.quant.layers import calibrate
+from dlmc_quant_tpu.training.losses import get_loss
+from dlmc_quant_tpu.training.metrics import get_metric
+from dlmc_quant_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from dlmc_quant_tpu.utils.logging import get_logger
+
+
+def make_eval_step(model, loss_fn, metric_fns, qmode: str = "eval"):
+    """One jitted eval step: (variables, x, y) → {loss, metrics}."""
+
+    @jax.jit
+    def step(variables, x, y):
+        logits = model.apply(variables, x, qmode=qmode)
+        out = {"loss": loss_fn(logits, y)}
+        for name, fn in metric_fns.items():
+            out[name] = fn(logits, y)
+        return out
+    return step
+
+
+def evaluate(model, variables, loader, loss_fn, metric_fns,
+             qmode: str = "eval") -> Dict[str, float]:
+    """Average loss/metrics over a loader (ref: ptq entry :74-84)."""
+    step = make_eval_step(model, loss_fn, metric_fns, qmode)
+    totals, n = {}, 0
+    for x, y in loader:
+        res = step(variables, jnp.asarray(x), jnp.asarray(y))
+        bs = len(y)
+        for k, v in res.items():
+            totals[k] = totals.get(k, 0.0) + float(v) * bs
+        n += bs
+    return {k: v / max(n, 1) for k, v in totals.items()}
+
+
+def run_ptq(config, logger=None) -> Dict:
+    """Full PTQ: build → (load ckpt) → quantize → calibrate → eval → save.
+
+    ``config`` is a ConfigParser or plain dict with the reference's YAML
+    schema.  Returns {fp32: metrics, quant: metrics, variables}.
+    """
+    logger = logger or get_logger("ptq")
+    cfg = config.config if hasattr(config, "config") else config
+    get = cfg.get
+
+    loaders = {name: get_dataloader(spec["type"], **(spec.get("args") or {}))
+               for name, spec in cfg["dataloaders"].items()}
+    calib_loader = loaders.get("calibration") or loaders.get("train")
+    eval_loader = loaders.get("eval") or loaders.get("valid")
+
+    scheme = scheme_from_dict(cfg.get("quantization"))
+    arch = cfg["arch"]
+    model_fp = get_model(arch["type"], **(arch.get("args") or {}))
+    model_q = dataclasses.replace(model_fp, scheme=scheme)
+
+    sample_x, _ = next(iter(calib_loader))
+    sample_x = jnp.asarray(sample_x)
+    rng = jax.random.PRNGKey(int(get("random_seed", 0)))
+    variables = model_q.init(rng, sample_x)
+
+    resume = get("resume")
+    if resume:
+        restored, _ = load_checkpoint(resume, target=variables)
+        variables = restored
+        logger.info("restored checkpoint from %s", resume)
+
+    loss_fn = get_loss(get("loss", "cross_entropy"))
+    metric_fns = {m: get_metric(m) for m in get("metrics", ["accuracy"])}
+
+    fp_metrics = None
+    if get("eval_fp32", True) and eval_loader is not None:
+        fp_metrics = evaluate(model_q, variables, eval_loader, loss_fn,
+                              metric_fns, qmode="fp")
+        logger.info("FP32 baseline: %s", fp_metrics)
+
+    t0 = time.time()
+    observe = int(get("observe_passes", 0))
+    batches = []
+    for i, (x, _) in enumerate(calib_loader):
+        batches.append(jnp.asarray(x))
+        if i + 1 >= max(observe, 1):
+            break
+    variables = calibrate(model_q, variables, batches,
+                          observe_passes=observe)
+    logger.info("calibration done in %.2fs (%d batch(es), observe=%d)",
+                time.time() - t0, len(batches), observe)
+
+    q_metrics = None
+    if eval_loader is not None:
+        q_metrics = evaluate(model_q, variables, eval_loader, loss_fn,
+                             metric_fns, qmode="eval")
+        logger.info("quantized: %s", q_metrics)
+
+    save_dir = getattr(config, "save_dir", None)
+    if save_dir is not None:
+        save_checkpoint(save_dir / "quantized_model",
+                        variables,
+                        metadata={"fp32": fp_metrics, "quant": q_metrics,
+                                  "config": cfg})
+        logger.info("saved quantized model to %s", save_dir)
+
+    return {"fp32": fp_metrics, "quant": q_metrics, "variables": variables,
+            "model": model_q}

@@ -4,12 +4,14 @@ Tests run on CPU with 8 virtual devices so mesh/pjit/collective code paths
 are exercised without TPU hardware (standard JAX testing trick; the
 reference has no test suite at all — see SURVEY.md §4).
 
-Env must be set before jax is imported anywhere in the test process.
+NOTE: this environment's sitecustomize registers an 'axon' TPU-tunnel
+backend and *forces* ``jax_platforms="axon,cpu"`` via config.update,
+which silently overrides the JAX_PLATFORMS env var.  The config.update
+below (after jax import) is what actually pins tests to CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +20,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,154 @@
+"""Integer-execution (deploy) path tests: int8 forward must match the
+fake-quant eval path bit-for-nearly-bit."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlmc_quant_tpu.quant.config import scheme_from_dict
+from dlmc_quant_tpu.quant.deploy import prepare_deploy
+from dlmc_quant_tpu.quant.layers import QConv, QDense, calibrate
+
+
+def scheme(qtype=None, w_bits=8, a_bits=8, a_enable=True, recon=None):
+    return scheme_from_dict({
+        "quantization_type": qtype,
+        "weight": {"enable": True, "type": "minmax_channel",
+                   "recon_type": recon,
+                   "args": {"n_bits": w_bits, "signed": True}},
+        "input": {"enable": a_enable, "type": "minmax_tensor",
+                  "args": {"n_bits": a_bits, "signed": False}},
+    })
+
+
+def _rel(a, b):
+    return float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-9))
+
+
+def _setup(model, x):
+    v = model.init(jax.random.PRNGKey(0), x)
+    v = calibrate(model, v, [x])
+    v = prepare_deploy(model, v, sample_input=x)
+    return v
+
+
+class TestIntConv:
+    def test_int8_matches_fakequant(self):
+        m = QConv(features=16, kernel_size=(3, 3), scheme=scheme())
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(1),
+                                          (2, 8, 8, 8)))
+        v = _setup(m, x)
+        y_int = m.apply(v, x, qmode="int")
+        y_fq = m.apply(v, x, qmode="eval")
+        assert _rel(y_int, y_fq) < 2e-2, _rel(y_int, y_fq)
+        assert "w_int" in v["qint"]
+        assert v["qint"]["w_int"].dtype == jnp.int8
+
+    def test_stride2_same_padding(self):
+        m = QConv(features=8, kernel_size=(3, 3), strides=(2, 2),
+                  scheme=scheme())
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(2),
+                                          (2, 9, 9, 4)))
+        v = _setup(m, x)
+        y_int = m.apply(v, x, qmode="int")
+        y_fq = m.apply(v, x, qmode="eval")
+        assert y_int.shape == y_fq.shape
+        assert _rel(y_int, y_fq) < 2e-2
+
+    def test_grouped(self):
+        m = QConv(features=8, kernel_size=(3, 3), feature_group_count=2,
+                  scheme=scheme())
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(3),
+                                          (2, 8, 8, 8)))
+        v = _setup(m, x)
+        assert _rel(m.apply(v, x, qmode="int"),
+                    m.apply(v, x, qmode="eval")) < 2e-2
+
+    def test_negative_inputs_with_offset(self):
+        """Unsigned act observer with a negative min → nonzero offset and
+        zero-point padding must still match."""
+        m = QConv(features=8, kernel_size=(3, 3), scheme=scheme())
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 4)) - 0.3
+        v = _setup(m, x)
+        assert _rel(m.apply(v, x, qmode="int"),
+                    m.apply(v, x, qmode="eval")) < 2e-2
+
+    def test_weight_only_w4(self):
+        m = QConv(features=8, scheme=scheme(w_bits=4, a_enable=False))
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4))
+        v = _setup(m, x)
+        y_int = m.apply(v, x, qmode="int")
+        y_fq = m.apply(v, x, qmode="eval")
+        # bf16 compute → looser tolerance
+        assert _rel(y_int, y_fq) < 3e-2
+        assert "in_scale" not in v["qint"]
+
+    def test_rootq_deploy(self):
+        m = QConv(features=8, scheme=scheme(qtype="RootQ"))
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(6),
+                                          (2, 8, 8, 4)))
+        v = _setup(m, x)
+        assert _rel(m.apply(v, x, qmode="int"),
+                    m.apply(v, x, qmode="eval")) < 3e-2
+
+    def test_fsptq_deploy(self):
+        m = QConv(features=8, scheme=scheme(qtype="FSPTQ"))
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(7),
+                                          (2, 8, 8, 4)))
+        v = _setup(m, x)
+        assert _rel(m.apply(v, x, qmode="int"),
+                    m.apply(v, x, qmode="eval")) < 2e-2
+
+    def test_fsptq_adaround_deploy_uses_learned_rounding(self):
+        m = QConv(features=8, scheme=scheme(qtype="FSPTQ", recon="adaround"))
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(8),
+                                          (2, 8, 8, 4)))
+        v = _setup(m, x)
+        # eval fake-quant uses floor + (alpha>=0); int path must match it
+        assert _rel(m.apply(v, x, qmode="int"),
+                    m.apply(v, x, qmode="eval")) < 2e-2
+
+
+class TestIntDense:
+    def test_int8_matches(self):
+        m = QDense(features=16, scheme=scheme())
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(9), (4, 32)))
+        v = _setup(m, x)
+        assert _rel(m.apply(v, x, qmode="int"),
+                    m.apply(v, x, qmode="eval")) < 2e-2
+
+    def test_int_output_dtype_and_jit(self):
+        m = QDense(features=8, scheme=scheme())
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(10), (4, 16)))
+        v = _setup(m, x)
+        f = jax.jit(lambda v, x: m.apply(v, x, qmode="int"))
+        y = f(v, x)
+        assert y.dtype == jnp.float32
+
+
+class TestModelLevelDeploy:
+    def test_fused_repvgg_int8_model(self):
+        from dlmc_quant_tpu.models.fuse import repvgg_fuse
+        from dlmc_quant_tpu.models.repvgg import RepVGG
+        import flax
+
+        m = RepVGG(num_blocks=(1, 1, 1, 1),
+                   width_multiplier=(0.25, 0.25, 0.25, 0.25),
+                   num_classes=10)
+        x = jax.random.normal(jax.random.PRNGKey(11), (4, 32, 32, 3))
+        v = m.init(jax.random.PRNGKey(12), x)
+        dm, dv = repvgg_fuse(m, v, x)
+        qm = dataclasses.replace(dm, scheme=scheme(qtype="FSPTQ"))
+        qv = qm.init(jax.random.PRNGKey(0), x)
+        flatq = flax.traverse_util.flatten_dict(qv["params"])
+        for k, val in flax.traverse_util.flatten_dict(dv["params"]).items():
+            flatq[k] = val
+        qv = {**qv, "params": flax.traverse_util.unflatten_dict(flatq)}
+        qv = calibrate(qm, qv, [x])
+        qv = prepare_deploy(qm, qv, sample_input=x)
+        y_int = qm.apply(qv, x, qmode="int")
+        y_fq = qm.apply(qv, x, qmode="eval")
+        assert _rel(y_int, y_fq) < 5e-2, _rel(y_int, y_fq)

@@ -1,0 +1,96 @@
+"""RepAPQ/FSPTQ reconstruction tests on a tiny fused RepVGG."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlmc_quant_tpu.models.fuse import repvgg_fuse
+from dlmc_quant_tpu.models.repvgg import RepVGG
+from dlmc_quant_tpu.quant.config import scheme_from_dict
+from dlmc_quant_tpu.quant.layers import calibrate
+from dlmc_quant_tpu.training.fsptq import (
+    FSPTQTrainer, capture_block_io, discover_blocks,
+)
+
+
+def _fsptq_scheme(n_bits=4, recon_type=None):
+    return scheme_from_dict({
+        "quantization_type": "FSPTQ",
+        "weight": {"enable": True, "type": "minmax_channel",
+                   "recon_type": recon_type,
+                   "args": {"n_bits": n_bits, "signed": True}},
+        "input": {"enable": True, "type": "minmax_tensor",
+                  "args": {"n_bits": 8, "signed": False}},
+    })
+
+
+@pytest.fixture(scope="module")
+def fused_repvgg():
+    m = RepVGG(num_blocks=(1, 1, 1, 1),
+               width_multiplier=(0.25, 0.25, 0.25, 0.25), num_classes=10)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(1), x)
+    # make BN stats non-trivial
+    _, upd = m.apply(v, x, train=True, mutable=["batch_stats"])
+    v = {**v, "batch_stats": upd["batch_stats"]}
+    dm, dv = repvgg_fuse(m, v, x)
+    return dm, dv, x
+
+
+class TestDiscovery:
+    def test_discover_blocks_order(self, fused_repvgg):
+        dm, dv, x = fused_repvgg
+        targets = discover_blocks(dm, dv, x)
+        names = [".".join(p) for p, _ in targets]
+        assert names[0] == "stage0"
+        assert names[-1] == "linear"
+        assert len(names) == 6  # 5 blocks + linear
+
+    def test_capture_io_shapes(self, fused_repvgg):
+        dm, dv, x = fused_repvgg
+        xin, xout = capture_block_io(dm, dv, [x, x], ("stage0",), "fp")
+        assert xin.shape[0] == 16 and xin.shape[-1] == 3
+        assert xout.shape[-1] == 16  # stage0 width at 0.25 mult
+
+
+class TestReconstruction:
+    def test_w4_reconstruction_improves_output_match(self, fused_repvgg):
+        dm, dv, x = fused_repvgg
+        scheme = _fsptq_scheme(n_bits=4)
+        qm = dataclasses.replace(dm, scheme=scheme)
+        import flax
+        qv = qm.init(jax.random.PRNGKey(2), x)
+        flatq = flax.traverse_util.flatten_dict(qv["params"])
+        flatd = flax.traverse_util.flatten_dict(dv["params"])
+        for k, val in flatd.items():
+            flatq[k] = val
+        qv = {**qv, "params": flax.traverse_util.unflatten_dict(flatq)}
+        qv = calibrate(qm, qv, [x])
+
+        y_fp = dm.apply(dv, x)
+        y_before = qm.apply(qv, x, qmode="eval")
+        err_before = float(jnp.mean((y_before - y_fp) ** 2))
+
+        tr = FSPTQTrainer(qm, qv, dm, dv, [x], iters=60, batch_size=8)
+        out = tr.train()
+        y_after = qm.apply(out["variables"], x, qmode="eval")
+        err_after = float(jnp.mean((y_after - y_fp) ** 2))
+        assert err_after < err_before, (err_before, err_after)
+
+    def test_adaround_reconstruction(self, fused_repvgg):
+        dm, dv, x = fused_repvgg
+        scheme = _fsptq_scheme(n_bits=4, recon_type="adaround")
+        qm = dataclasses.replace(dm, scheme=scheme)
+        import flax
+        qv = qm.init(jax.random.PRNGKey(2), x)
+        flatq = flax.traverse_util.flatten_dict(qv["params"])
+        for k, val in flax.traverse_util.flatten_dict(dv["params"]).items():
+            flatq[k] = val
+        qv = {**qv, "params": flax.traverse_util.unflatten_dict(flatq)}
+        qv = calibrate(qm, qv, [x])
+        tr = FSPTQTrainer(qm, qv, dm, dv, [x], iters=40, batch_size=8)
+        out = tr.train()
+        assert all(np.isfinite(l) for l in out["block_losses"].values())
