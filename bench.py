@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: INT8 images/sec/chip on RepVGG-A0 (deploy form).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "images/sec/chip",
+     "vs_baseline": N}
+
+``vs_baseline`` is the speedup of the int8 path over the same model's
+FP32 forward on the same chip (the reference publishes no numbers —
+BASELINE.json "published" is {} — so FP32-on-same-hardware is the
+baseline the int8 engine must beat).
+
+Timing notes: on the axon TPU tunnel ``block_until_ready`` does not
+synchronize; we queue ``iters`` dependent-free forwards and force
+completion by fetching a scalar from the last result (device executes
+in-order), which bounds throughput correctly.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+BATCH = 256
+ITERS = 30
+WARMUP = 3
+
+
+def _throughput(fn, variables, x, iters=ITERS):
+    # warm + compile
+    float(jnp.sum(fn(variables, x)))
+    for _ in range(WARMUP):
+        y = fn(variables, x)
+    float(jnp.sum(y))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = fn(variables, x)
+    float(jnp.sum(y))  # fence: forces all queued work to finish
+    dt = time.perf_counter() - t0
+    return x.shape[0] * iters / dt
+
+
+def main():
+    from dlmc_quant_tpu.models import get_model
+    from dlmc_quant_tpu.quant.config import scheme_from_dict
+    from dlmc_quant_tpu.quant.deploy import prepare_deploy
+    from dlmc_quant_tpu.quant.layers import calibrate
+
+    scheme = scheme_from_dict({
+        "quantization_type": "FSPTQ",
+        "weight": {"enable": True, "type": "minmax_channel",
+                   "args": {"n_bits": 8, "signed": True}},
+        "input": {"enable": True, "type": "minmax_tensor",
+                  "args": {"n_bits": 8, "signed": False}},
+    })
+    model = get_model("RepVGG_A0", num_classes=1000, deploy=True,
+                      scheme=scheme)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 224, 224, 3),
+                           jnp.float32)
+    xc = x[:8]
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), xc)
+    variables = calibrate(model, variables, [xc])
+    variables = prepare_deploy(model, variables, sample_input=xc)
+
+    int8_fn = jax.jit(lambda v, x: model.apply(v, x, qmode="int"))
+    fp_fn = jax.jit(lambda v, x: model.apply(v, x, qmode="fp"))
+
+    ips_int8 = _throughput(int8_fn, variables, x)
+    ips_fp32 = _throughput(fp_fn, variables, x)
+
+    print(json.dumps({
+        "metric": "repvgg_a0_int8_images_per_sec_per_chip",
+        "value": round(ips_int8, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips_int8 / ips_fp32, 3),
+        "extra": {"fp32_ips": round(ips_fp32, 1), "batch": BATCH},
+    }))
+
+
+if __name__ == "__main__":
+    main()

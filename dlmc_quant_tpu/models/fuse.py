@@ -72,6 +72,63 @@ def fuse_repvgg_block(block_params, block_stats, in_features: int,
     return kernel, bias
 
 
+def merge_bn(model, variables, example_input, allow_missing: bool = True):
+    """Fold every Conv→BatchNorm pair's scale into the conv kernel.
+
+    Generic, graph-driven equivalent of the reference's name-heuristic
+    ``merge_bn`` (ref: dlmc/utils/merge_bn.py:13-113): conv→BN pairs are
+    discovered from the traced compute graph, the kernel absorbs γ/σ,
+    and the BN is neutralized into a pure bias-add (scale=1, mean=0,
+    var=1−ε, bias=β−μγ/σ) — numerically exact, so quantizers downstream
+    observe the *folded* weights, which is the point of BN merging
+    before PTQ.
+
+    Returns new variables; the model definition is unchanged.
+    """
+    from dlmc_quant_tpu.utils.count_ops import get_compute_graph
+
+    graph = get_compute_graph(model, example_input, style="top")
+    new_vars = jax.tree_util.tree_map(lambda a: a, flax.core.unfreeze(variables))
+    params = new_vars["params"]
+    stats = new_vars.get("batch_stats", {})
+
+    def subtree(tree, path):
+        node = tree
+        for p in path.split("."):
+            if p not in node:
+                return None
+            node = node[p]
+        return node
+
+    n_folded = 0
+    for conv_path, consumers in graph.items():
+        conv_p = subtree(params, conv_path)
+        if conv_p is None or "kernel" not in conv_p:
+            continue
+        bns = [c for c in consumers
+               if subtree(stats, c) is not None
+               and "mean" in (subtree(stats, c) or {})]
+        if len(bns) != 1:
+            continue
+        bn_path = bns[0]
+        bn_p, bn_s = subtree(params, bn_path), subtree(stats, bn_path)
+        eps = BN_EPS
+        k, b = fold_conv_bn(conv_p["kernel"], conv_p.get("bias"),
+                            bn_p["scale"], bn_p["bias"],
+                            bn_s["mean"], bn_s["var"], eps)
+        conv_p["kernel"] = k
+        if "bias" in conv_p:
+            conv_p["bias"] = jnp.zeros_like(conv_p["bias"])
+        bn_p["scale"] = jnp.ones_like(bn_p["scale"])
+        bn_p["bias"] = b
+        bn_s["mean"] = jnp.zeros_like(bn_s["mean"])
+        bn_s["var"] = jnp.full_like(bn_s["var"], 1.0 - eps)
+        n_folded += 1
+    if n_folded == 0 and not allow_missing:
+        raise ValueError("merge_bn found no conv→BN pairs to fold")
+    return new_vars
+
+
 def repvgg_fuse(model, variables, example_input, rngs=None):
     """Train-form RepVGG → deploy-form (model, variables).
 

@@ -1,0 +1,152 @@
+"""Quantized inference serving: tensor-sharded weights + continuous
+batching across a device mesh.
+
+No reference analogue (the reference stops at fake-quant eval loops);
+this is the BASELINE.json north-star serving path: int8 weights sharded
+over the mesh 'model' axis (output channels), requests continuously
+batched into fixed-shape device steps, psum/all-gather inserted by XLA
+SPMD and riding ICI.
+
+Multi-host: one engine per host process (`jax.distributed.initialize`
+outside), each host feeds its local request stream; the mesh spans all
+hosts so every forward is a collective — scaling is measured by
+:func:`measure_throughput` at 1-chip / n-chip meshes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dlmc_quant_tpu.parallel.sharding_rules import shard_params
+
+
+class InferenceEngine:
+    """Continuous-batching engine over a jitted, mesh-sharded forward.
+
+    Requests (single images or micro-batches) are queued; a dispatcher
+    thread packs them into fixed-size batches (padding the tail), runs
+    the sharded forward, and resolves per-request futures.
+    """
+
+    def __init__(self, model, variables, mesh: Optional[Mesh] = None,
+                 batch_size: int = 64, qmode: str = "int",
+                 max_wait_ms: float = 2.0, data_axis: str = "data",
+                 model_axis: str = "model"):
+        self.model = model
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.qmode = qmode
+        self.max_wait = max_wait_ms / 1e3
+
+        if mesh is not None and model_axis in mesh.axis_names:
+            variables = shard_params(variables, mesh, model_axis)
+            self._in_sharding = NamedSharding(
+                mesh, P(data_axis if data_axis in mesh.axis_names else None,
+                        None, None, None))
+        else:
+            self._in_sharding = None
+        self.variables = variables
+
+        self._fwd = jax.jit(
+            lambda v, x: self.model.apply(v, x, qmode=self.qmode))
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"batches": 0, "images": 0, "pad_waste": 0}
+
+    # -- synchronous API ---------------------------------------------------
+
+    def forward(self, x):
+        """Direct fixed-batch forward (pads/truncates to batch_size)."""
+        n = x.shape[0]
+        if n < self.batch_size:
+            x = np.concatenate(
+                [x, np.zeros((self.batch_size - n,) + x.shape[1:],
+                             x.dtype)])
+        x = jnp.asarray(x)
+        if self._in_sharding is not None:
+            x = jax.device_put(x, self._in_sharding)
+        return self._fwd(self.variables, x)[:n]
+
+    def warmup(self, image_shape):
+        x = np.zeros((self.batch_size,) + tuple(image_shape), np.float32)
+        np.asarray(self.forward(x))
+
+    # -- continuous batching ----------------------------------------------
+
+    def start(self):
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def submit(self, images: np.ndarray) -> Future:
+        """Enqueue a request (K,H,W,C); future resolves to (K, classes)."""
+        fut: Future = Future()
+        self._queue.put((np.asarray(images), fut))
+        return fut
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch, futs, sizes = [], [], []
+            total = 0
+            deadline = None
+            while total < self.batch_size:
+                timeout = (self.max_wait if deadline is None
+                           else max(deadline - time.perf_counter(), 0))
+                try:
+                    imgs, fut = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if deadline is None:
+                    deadline = time.perf_counter() + self.max_wait
+                batch.append(imgs)
+                futs.append(fut)
+                sizes.append(len(imgs))
+                total += len(imgs)
+            if not batch:
+                continue
+            x = np.concatenate(batch)[:self.batch_size]
+            n = x.shape[0]
+            try:
+                out = np.asarray(self.forward(x))
+            except Exception as e:  # resolve futures with the error
+                for f in futs:
+                    f.set_exception(e)
+                continue
+            self.stats["batches"] += 1
+            self.stats["images"] += n
+            self.stats["pad_waste"] += self.batch_size - n
+            off = 0
+            for f, k in zip(futs, sizes):
+                f.set_result(out[off:off + k])
+                off += k
+
+
+def measure_throughput(engine: InferenceEngine, image_shape,
+                       n_batches: int = 20) -> float:
+    """images/sec through the engine's fixed-batch forward (the scaling
+    measurement for 1-chip vs n-chip meshes)."""
+    x = np.random.default_rng(0).random(
+        (engine.batch_size,) + tuple(image_shape), np.float32)
+    engine.warmup(image_shape)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_batches):
+        out = engine.forward(x)
+    float(jnp.sum(out))  # fence
+    dt = time.perf_counter() - t0
+    return engine.batch_size * n_batches / dt

@@ -99,9 +99,38 @@ def int8_pad_value(s_x, o_x, qmin: int, qmax: int):
             - act_shift(qmax)).astype(jnp.int8)
 
 
+def pack_int4(w_int: jnp.ndarray) -> jnp.ndarray:
+    """Pack int8 values in [-8, 7] two-per-byte along axis 0 (uint8).
+
+    Axis 0 is the first kernel axis (H for conv HWIO, K for dense IO);
+    odd sizes are zero-padded.  Nibble layout: even index → low nibble,
+    odd index → high nibble.
+    """
+    s = w_int.shape[0]
+    if s % 2:
+        w_int = jnp.concatenate(
+            [w_int, jnp.zeros((1,) + w_int.shape[1:], w_int.dtype)])
+    lo = w_int[0::2].astype(jnp.uint8) & 0xF
+    hi = (w_int[1::2].astype(jnp.uint8) & 0xF) << 4
+    return lo | hi
+
+
+def unpack_int4(packed: jnp.ndarray, orig_dim0: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4` → int8 values (sign-extended)."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = ((lo ^ 8) - 8).astype(jnp.int8)       # sign-extend nibble
+    hi = ((hi ^ 8) - 8).astype(jnp.int8)
+    out = jnp.stack([lo, hi], axis=1).reshape(
+        (-1,) + packed.shape[1:])
+    return out[:orig_dim0]
+
+
 def prepare_deploy(model, variables, **apply_kw):
     """Run the deploy_prep pass; returns variables + 'qint' collection."""
     sample = apply_kw.pop("sample_input")
-    _, upd = model.apply(variables, sample, qmode="deploy_prep",
-                         mutable=["qint", "qstate"], **apply_kw)
+    prep_fn = jax.jit(lambda v, x: model.apply(
+        v, x, qmode="deploy_prep", mutable=["qint", "qstate"],
+        **apply_kw)[1])
+    upd = prep_fn(variables, sample)
     return {**variables, "qint": upd["qint"]}

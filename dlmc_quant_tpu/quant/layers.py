@@ -466,10 +466,13 @@ class _IntOps:
                 f"{self._layer_path()}: weight quantization disabled — "
                 "nothing to deploy")
 
-        plan = {
-            "w_int": w_int,
-            "w_scale": s_w.astype(jnp.float32),
-        }
+        plan = {"w_scale": s_w.astype(jnp.float32)}
+        if wq.n_bits <= 4:
+            # two-nibbles-per-byte packing halves weight memory; unpacked
+            # on the fly at forward (cheap vs activation traffic)
+            plan["w_int4"] = dp.pack_int4(w_int)
+        else:
+            plan["w_int"] = w_int
         if aq.enable:
             if aq.per_channel or aq.per_pixel:
                 raise ValueError(
@@ -498,10 +501,16 @@ class _IntOps:
             self.variable("qint", name, lambda v=val: v).value = val
 
     def _load_plan(self):
-        names = ("w_int", "w_scale", "in_scale", "in_offset", "pad_val",
-                 "bias_eff")
+        names = ("w_int", "w_int4", "w_scale", "in_scale", "in_offset",
+                 "pad_val", "bias_eff")
         return {n: self.get_variable("qint", n) for n in names
                 if self.has_variable("qint", n)}
+
+    def _plan_weights(self, plan, kernel_shape):
+        from dlmc_quant_tpu.quant import deploy as dp
+        if "w_int4" in plan:
+            return dp.unpack_int4(plan["w_int4"], kernel_shape[0])
+        return plan["w_int"]
 
 
 def _batch_observe(x, cfg: TensorQConfig, ch_axis):
@@ -598,7 +607,7 @@ class QConv(nn.Module, _QuantOps, _IntOps):
         else:
             plan = self._load_plan()
 
-        w_int = plan["w_int"]
+        w_int = self._plan_weights(plan, kernel.shape)
         if "in_scale" not in plan:
             # weight-only quantization: dequantize to bf16, MXU bf16 conv
             s_b = _wt_bshape(cfg.weight, plan["w_scale"], kernel.ndim)
@@ -669,7 +678,7 @@ class QDense(nn.Module, _QuantOps, _IntOps):
         else:
             plan = self._load_plan()
 
-        w_int = plan["w_int"]
+        w_int = self._plan_weights(plan, kernel.shape)
         if "in_scale" not in plan:
             s_b = _wt_bshape(cfg.weight, plan["w_scale"], kernel.ndim)
             w_deq = w_int.astype(jnp.bfloat16) * s_b.astype(jnp.bfloat16)
@@ -715,11 +724,13 @@ def calibrate(model, variables, batches, observe_passes: int = 0, **apply_kw):
     """
     batches = list(batches)
     if observe_passes:
+        observe_fn = jax.jit(lambda v, b: model.apply(
+            v, b, qmode="observe", mutable=["qstate"], **apply_kw)[1])
         for b in batches[:observe_passes]:
-            _, upd = model.apply(variables, b, qmode="observe",
-                                 mutable=["qstate"], **apply_kw)
+            upd = observe_fn(variables, b)
             variables = {**variables, "qstate": upd["qstate"]}
-    _, upd = model.apply(variables, batches[0], qmode="calibrate",
-                         mutable=["qcal", "qstate"], **apply_kw)
+    cal_fn = jax.jit(lambda v, b: model.apply(
+        v, b, qmode="calibrate", mutable=["qcal", "qstate"], **apply_kw)[1])
+    upd = cal_fn(variables, batches[0])
     variables = {**variables, "qstate": upd["qstate"]}
     return merge_calibration(variables, upd.get("qcal", {}))

@@ -98,19 +98,26 @@ def capture_block_io(model, variables, batches, target: Tuple[str, ...],
     """Run the model over ``batches`` capturing (input, output) of the
     target module.  ref: fsptq_trainer.py:46-67 (hook caching loop).
     """
-    ins, outs = [], []
+    def run(v, xb):
+        cap = {}
 
-    def interceptor(next_fn, args, kwargs, context):
-        path = tuple(str(p) for p in context.module.path)
-        out = next_fn(*args, **kwargs)
-        if path == target:
-            ins.append(args[0])
-            outs.append(out)
-        return out
+        def interceptor(next_fn, args, kwargs, context):
+            path = tuple(str(p) for p in context.module.path)
+            out = next_fn(*args, **kwargs)
+            if path == target:
+                cap["in"], cap["out"] = args[0], out
+            return out
 
-    for xb in batches:
         with nn.intercept_methods(interceptor):
-            model.apply(variables, xb, qmode=qmode, **apply_kw)
+            model.apply(v, xb, qmode=qmode, **apply_kw)
+        return cap["in"], cap["out"]
+
+    run = jax.jit(run)  # interception happens at trace time
+    ins, outs = [], []
+    for xb in batches:
+        i, o = run(variables, xb)
+        ins.append(i)
+        outs.append(o)
     return jnp.concatenate(ins), jnp.concatenate(outs)
 
 

@@ -76,7 +76,7 @@ def run_ptq(config, logger=None) -> Dict:
     sample_x, _ = next(iter(calib_loader))
     sample_x = jnp.asarray(sample_x)
     rng = jax.random.PRNGKey(int(get("random_seed", 0)))
-    variables = model_q.init(rng, sample_x)
+    variables = jax.jit(model_q.init)(rng, sample_x)
 
     resume = get("resume")
     if resume:

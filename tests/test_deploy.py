@@ -152,3 +152,34 @@ class TestModelLevelDeploy:
         y_int = qm.apply(qv, x, qmode="int")
         y_fq = qm.apply(qv, x, qmode="eval")
         assert _rel(y_int, y_fq) < 5e-2, _rel(y_int, y_fq)
+
+
+class TestInt4Packing:
+    def test_pack_roundtrip(self):
+        from dlmc_quant_tpu.quant.deploy import pack_int4, unpack_int4
+        import jax.numpy as jnp
+        w = jax.random.randint(jax.random.PRNGKey(0), (9, 4, 8), -8, 8,
+                               dtype=jnp.int8)
+        p = pack_int4(w)
+        assert p.shape == (5, 4, 8) and p.dtype == jnp.uint8
+        np.testing.assert_array_equal(np.asarray(unpack_int4(p, 9)),
+                                      np.asarray(w))
+
+    def test_w4_weight_only_uses_packed(self):
+        m = QConv(features=8, scheme=scheme(w_bits=4, a_enable=False))
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4))
+        v = _setup(m, x)
+        assert "w_int4" in v["qint"] and "w_int" not in v["qint"]
+        # packed int4 halves dim0 (kernel H=3 → 2 bytes)
+        assert v["qint"]["w_int4"].shape[0] == 2
+        y_int = m.apply(v, x, qmode="int")
+        y_fq = m.apply(v, x, qmode="eval")
+        assert _rel(y_int, y_fq) < 3e-2
+
+    def test_w4a8_full_int_path(self):
+        m = QConv(features=8, scheme=scheme(w_bits=4, a_bits=8))
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(6),
+                                          (2, 8, 8, 4)))
+        v = _setup(m, x)
+        assert _rel(m.apply(v, x, qmode="int"),
+                    m.apply(v, x, qmode="eval")) < 3e-2
