@@ -31,10 +31,16 @@ quantizers, per-tensor or per-output-channel symmetric weights.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+
+# Use the Pallas implicit-GEMM int8 conv for 3×3/stride-1/group-1 layers
+# (XLA's int8 conv lowering runs at its bf16 rate; the Pallas kernel hits
+# the int8 MXU).  Env-overridable for A/B benchmarking.
+USE_PALLAS_CONV = os.environ.get("DLMCQ_PALLAS_CONV", "1") == "1"
 
 
 def affine_from_quantizer(family: str, cfg, params: Dict, qstate: Dict,

@@ -618,9 +618,20 @@ class QConv(nn.Module, _QuantOps, _IntOps):
         aqmin, aqmax = self._act_qrange(cfg)
         x_i8, _ = dp.act_to_int8(x, plan["in_scale"], plan["in_offset"],
                                  aqmin, aqmax)
-        (plo, phi), (qlo, qhi) = self._spatial_pads(x)
+        pads = self._spatial_pads(x)
+        (plo, phi), (qlo, qhi) = pads
         x_p = jnp.pad(x_i8, ((0, 0), (plo, phi), (qlo, qhi), (0, 0)),
                       constant_values=plan["pad_val"])
+        scale_vec = jnp.broadcast_to(
+            (plan["in_scale"] * plan["w_scale"]).reshape(-1),
+            (w_int.shape[-1],))
+        if (dp.USE_PALLAS_CONV and self.kernel_size == (3, 3)
+                and self.strides == (1, 1)
+                and self.feature_group_count == 1
+                and pads == ((1, 1), (1, 1))
+                and jax.default_backend() != "cpu"):
+            from dlmc_quant_tpu.ops.pallas.qconv import int8_conv3x3
+            return int8_conv3x3(x_p, w_int, scale_vec, plan["bias_eff"])
         acc = jax.lax.conv_general_dilated(
             x_p, w_int, window_strides=self.strides, padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -276,6 +276,15 @@ class Trainer:
             self._on_step(epoch, i)
             xb, yb = self._put_batch(x, y)
             self.state, metrics = self._train_step(self.state, xb, yb)
+            if self.cfg.get("detect_anomalies"):
+                # failure detection (the reference has none, SURVEY.md §5):
+                # a non-finite loss aborts before it can poison the params
+                loss_val = float(metrics["loss"])
+                if not math.isfinite(loss_val):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at epoch {epoch} "
+                        f"step {i} — aborting (set detect_anomalies: false "
+                        f"to disable)")
             if (i + 1) % self.train_log_step == 0 or i + 1 == n_batches:
                 if self.process_index == 0:
                     step = int((epoch - 1) * n_batches + i)
