@@ -110,20 +110,30 @@ class CifarResNet(nn.Module):
 
 
 class CifarResNetLarge(nn.Module):
-    """ImageNet-style ResNet with CIFAR 3×3 stem.
+    """ImageNet-style ResNet; CIFAR 3×3 stem or ImageNet 7×7+maxpool stem.
 
-    ref: cifarresnet_large.py (18/34 BasicBlock, 50/101/152 Bottleneck).
+    ref: cifarresnet_large.py (18/34 BasicBlock, 50/101/152 Bottleneck);
+    the ``imagenet_stem`` variant mirrors torchvision resnet50 etc., which
+    the reference re-exports wholesale (model/__init__.py:1-4).
     """
     stage_sizes: Tuple[int, ...] = (2, 2, 2, 2)
     bottleneck: bool = False
     num_classes: int = 10
+    imagenet_stem: bool = False
     scheme: Optional[QuantScheme] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, qmode: str = "eval"):
-        x = QConv(64, (3, 3), use_bias=False, name="conv1",
-                  scheme=self.scheme)(x, qmode=qmode)
-        x = nn.relu(_bn(train, "bn1")(x))
+        if self.imagenet_stem:
+            x = QConv(64, (7, 7), (2, 2), use_bias=False, name="conv1",
+                      scheme=self.scheme)(x, qmode=qmode)
+            x = nn.relu(_bn(train, "bn1")(x))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1),
+                                                                (1, 1)))
+        else:
+            x = QConv(64, (3, 3), use_bias=False, name="conv1",
+                      scheme=self.scheme)(x, qmode=qmode)
+            x = nn.relu(_bn(train, "bn1")(x))
         block = Bottleneck if self.bottleneck else BasicBlock
         for si, (n, w) in enumerate(zip(self.stage_sizes,
                                         (64, 128, 256, 512)), start=1):
@@ -166,3 +176,20 @@ cifar_resnet34 = _large("cifar_resnet34", (3, 4, 6, 3), False)
 cifar_resnet50 = _large("cifar_resnet50", (3, 4, 6, 3), True)
 cifar_resnet101 = _large("cifar_resnet101", (3, 4, 23, 3), True)
 cifar_resnet152 = _large("cifar_resnet152", (3, 8, 36, 3), True)
+
+
+def _imagenet(name, sizes, bottleneck):
+    @register(name)
+    def fn(num_classes: int = 1000, scheme=None, **kw):
+        return CifarResNetLarge(stage_sizes=sizes, bottleneck=bottleneck,
+                                num_classes=num_classes, imagenet_stem=True,
+                                scheme=scheme, **kw)
+    fn.__name__ = name
+    return fn
+
+
+resnet18 = _imagenet("resnet18", (2, 2, 2, 2), False)
+resnet34 = _imagenet("resnet34", (3, 4, 6, 3), False)
+resnet50 = _imagenet("resnet50", (3, 4, 6, 3), True)
+resnet101 = _imagenet("resnet101", (3, 4, 23, 3), True)
+resnet152 = _imagenet("resnet152", (3, 8, 36, 3), True)

@@ -41,6 +41,15 @@ class TestCifarResNet:
         v = m.init(jax.random.PRNGKey(0), x)
         assert m.apply(v, x).shape == (2, 100)
 
+    def test_imagenet_resnet50_shapes(self):
+        m = get_model("resnet50", num_classes=1000)
+        x = jnp.ones((1, 64, 64, 3))  # small spatial, same param count
+        v = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(v, x).shape == (1, 1000)
+        n_params = sum(p.size for p in jax.tree_util.tree_leaves(v["params"]))
+        # torchvision resnet50 has ~25.6M params
+        assert 24e6 < n_params < 27e6, n_params
+
     def test_train_mode_updates_bn(self):
         m = get_model("cifar_resnet20")
         x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
