@@ -37,10 +37,12 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-# Use the Pallas implicit-GEMM int8 conv for 3×3/stride-1/group-1 layers
-# (XLA's int8 conv lowering runs at its bf16 rate; the Pallas kernel hits
-# the int8 MXU).  Env-overridable for A/B benchmarking.
-USE_PALLAS_CONV = os.environ.get("DLMCQ_PALLAS_CONV", "1") == "1"
+# Opt-in: route 3×3/stride-1/group-1 layers through the Pallas
+# implicit-GEMM int8 conv (ops/pallas/qconv.py).  Measured on the v5e
+# chip (tools/layerbench.py) that kernel sustains only 5.8–15 TOP/s vs
+# ~112 TOP/s for XLA's int8 conv lowering, so the default is XLA; the
+# flag remains for A/B benchmarking of kernel work.
+USE_PALLAS_CONV = os.environ.get("DLMCQ_PALLAS_CONV", "0") == "1"
 
 
 def affine_from_quantizer(family: str, cfg, params: Dict, qstate: Dict,
