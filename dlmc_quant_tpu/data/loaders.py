@@ -37,11 +37,17 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class ArrayDataset:
-    """In-memory dataset: images (N,H,W,C) uint8/float32 + labels (N,)."""
+    """In-memory dataset: images (N,H,W,C) uint8/float32 + labels (N,).
+
+    Batch assembly (gather + pad-crop + flip + 1/255 + normalize) runs
+    through the native C++ pipeline (data/native/augment.cpp, threaded,
+    single fused pass) when it is available; the numpy path draws the
+    same randomness in the same order, so both are bit-exact.
+    """
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  mean=None, std=None, train_augment: bool = False,
-                 pad: int = 4):
+                 pad: int = 4, use_native: Optional[bool] = None):
         assert len(images) == len(labels)
         self.images = images
         self.labels = np.asarray(labels, np.int32)
@@ -49,33 +55,51 @@ class ArrayDataset:
         self.std = std
         self.train_augment = train_augment
         self.pad = pad
+        self._scale255 = (images.dtype == np.uint8
+                          or float(images[:16].max(initial=0.0)) > 2.0)
+        if use_native is None:
+            from dlmc_quant_tpu.data import native
+            use_native = native.available()
+        self.use_native = use_native
 
     def __len__(self):
         return len(self.images)
 
     def get_batch(self, idx: np.ndarray, rng: Optional[np.random.Generator]
                   ) -> Tuple[np.ndarray, np.ndarray]:
+        aug = self.train_augment and rng is not None
+        if aug:
+            n = len(idx)
+            oy = rng.integers(0, 2 * self.pad + 1, n)
+            ox = rng.integers(0, 2 * self.pad + 1, n)
+            flip = rng.random(n) < 0.5
+        if self.use_native:
+            from dlmc_quant_tpu.data import native
+            x = native.augment_gather(
+                self.images, idx,
+                pad=self.pad if aug else 0,
+                oy=oy if aug else None, ox=ox if aug else None,
+                flip=flip if aug else None,
+                mean=self.mean, std=self.std, scale255=self._scale255)
+            return x, self.labels[idx]
         x = self.images[idx].astype(np.float32)
-        if x.max() > 2.0:      # uint8 range
+        if self._scale255:
             x = x / 255.0
-        if self.train_augment and rng is not None:
-            x = self._augment(x, rng)
+        if aug:
+            x = self._augment(x, oy, ox, flip)
         if self.mean is not None:
             x = (x - self.mean) / self.std
         return x, self.labels[idx]
 
-    def _augment(self, x, rng):
+    def _augment(self, x, oy, ox, flip):
         """Random crop (zero-pad) + horizontal flip — the reference's CIFAR
         train transform (ref: data_loaders.py:24-31)."""
         n, h, w, _ = x.shape
         p = self.pad
         xp = np.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-        oy = rng.integers(0, 2 * p + 1, n)
-        ox = rng.integers(0, 2 * p + 1, n)
         out = np.empty_like(x)
         for i in range(n):
             out[i] = xp[i, oy[i]:oy[i] + h, ox[i]:ox[i] + w]
-        flip = rng.random(n) < 0.5
         out[flip] = out[flip, :, ::-1]
         return out
 
@@ -150,6 +174,57 @@ class DataLoader:
                           indices=self.indices[process_index::process_count],
                           drop_last=self.drop_last,
                           seed=self.seed + process_index)
+
+    def prefetch(self, depth: int = 2) -> "PrefetchLoader":
+        """Wrap with background-thread batch assembly (host augment
+        overlaps device compute; the native C++ pass releases the GIL)."""
+        return PrefetchLoader(self, depth)
+
+
+class PrefetchLoader:
+    """Background-thread prefetch over any batch iterable.
+
+    Replaces the reference's DataLoader worker processes: one host thread
+    assembles the next ``depth`` batches (the native pipeline holds the
+    GIL only at call boundaries) while the device runs the current step.
+    Proxies attributes of the wrapped loader (len, set_epoch, ...).
+    """
+
+    def __init__(self, loader: "DataLoader", depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __getattr__(self, name):
+        return getattr(self.loader, name)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def worker():
+            try:
+                for item in self.loader:
+                    q.put(item)
+                q.put(_END)
+            except BaseException as e:  # surface errors in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
 
 
 # ---------------------------------------------------------------------------

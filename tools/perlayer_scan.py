@@ -62,39 +62,28 @@ def main():
         x = jax.random.normal(key, (B, h, h, ci), jnp.float32)
         xi = jnp.clip(jnp.round(x * 30), -127, 127).astype(jnp.int8)
 
-        def fp_step(x, w, s=s, h=h, ci=ci):
+        # the carry stays input-shaped; the output feeds back through a
+        # single-element update so XLA can't dead-code the conv
+        def fp_step(x, w, s=s):
             y = jax.lax.conv_general_dilated(
                 x, w, (s, s), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32)
-            # resize back to input shape so the scan carry is static
-            return jax.image.resize(y[..., :ci], x.shape, "nearest") \
-                if (s != 1 or y.shape[-1] != ci) else y
+            return x.at[0, 0, 0, 0].add(
+                jnp.tanh(y[0, 0, 0, 0]).astype(x.dtype) * 1e-6)
 
-        def int_step(x, w, s=s, ci=ci):
+        def int_step(x, w, s=s):
             acc = jax.lax.conv_general_dilated(
                 x, w, (s, s), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
-            q = (acc >> 7).astype(jnp.int8)
-            return q[..., :ci] if (s != 1 or q.shape[-1] != ci) else q
+            return x.at[0, 0, 0, 0].set(
+                x[0, 0, 0, 0] ^ (acc[0, 0, 0, 0] & 1).astype(jnp.int8))
 
-        # avoid resize cost polluting stride-2 rows: for s!=1 report the
-        # conv-only estimate by subtracting a conv-less scan baseline
-        if s == 1:
-            t_fp, r_fp = scan_time(fp_step, x, w, flops)
-            t_bf, r_bf = scan_time(
-                lambda x, w: fp_step(x, w).astype(jnp.bfloat16),
-                x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), flops)
-            t_i8, r_i8 = scan_time(int_step, xi, wi, flops)
-        else:
-            # carry stays input-shaped via cheap nearest resize; measure
-            # with and without the conv to isolate it
-            t_fp, r_fp = scan_time(fp_step, x, w, flops)
-            t_bf, r_bf = scan_time(
-                lambda x, w: fp_step(x, w).astype(jnp.bfloat16),
-                x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), flops)
-            t_i8, r_i8 = scan_time(int_step, xi, wi, flops)
+        t_fp, r_fp = scan_time(fp_step, x, w, flops)
+        t_bf, r_bf = scan_time(
+            fp_step, x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), flops)
+        t_i8, r_i8 = scan_time(int_step, xi, wi, flops)
         print(f"h{h:4d} {ci:4d}->{co:4d} s{s} x{cnt:2d}: "
               f"fp32 {t_fp*1e3:7.3f} ms {r_fp:6.1f}T | "
               f"bf16 {t_bf*1e3:7.3f} ms {r_bf:6.1f}T | "
@@ -122,7 +111,7 @@ def main():
             xs, wr, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
-        return jax.image.resize(y[..., :3], x.shape, "nearest")
+        return x.at[0, 0, 0, 0].add(jnp.tanh(y[0, 0, 0, 0]) * 1e-6)
 
     flops = 2 * B * 112 * 112 * 16 * 3 * 48
     t, r = scan_time(s2d_stem, x, w4, flops)
