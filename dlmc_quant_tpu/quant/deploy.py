@@ -93,11 +93,18 @@ def act_shift(qmax: int) -> int:
     return 128 if qmax > 127 else 0
 
 
-def act_to_int8(x, s_x, o_x, qmin: int, qmax: int):
+def act_to_int8(x, s_x, o_x, qmin: int, qmax: int, inv_s_x=None):
     """Quantize activations to int8 codes:
-    x ≈ (x_i8 + shift)·s_x + o_x with shift = act_shift(qmax)."""
+    x ≈ (x_i8 + shift)·s_x + o_x with shift = act_shift(qmax).
+
+    ``inv_s_x`` (precomputed 1/s_x from the deploy plan) turns the
+    per-element fp32 divide into a multiply — scales are runtime values,
+    so XLA cannot do this strength reduction itself, and VPU divides are
+    ~an order of magnitude slower than multiplies inside the quantize
+    fusion that sits between every pair of convs."""
     shift = act_shift(qmax)
-    q = jnp.clip(jnp.round((x - o_x) / s_x), qmin, qmax) - shift
+    scaled = (x - o_x) * inv_s_x if inv_s_x is not None else (x - o_x) / s_x
+    q = jnp.clip(jnp.round(scaled), qmin, qmax) - shift
     return q.astype(jnp.int8), shift
 
 

@@ -490,6 +490,7 @@ class _IntOps:
                 bias_eff = bias_eff + bias
             plan.update({
                 "in_scale": s_x.astype(jnp.float32),
+                "in_inv_scale": (1.0 / s_x).astype(jnp.float32),
                 "in_offset": o_x.astype(jnp.float32),
                 "pad_val": dp.int8_pad_value(s_x, o_x, aqmin, aqmax),
                 "bias_eff": bias_eff.astype(jnp.float32),
@@ -501,8 +502,8 @@ class _IntOps:
             self.variable("qint", name, lambda v=val: v).value = val
 
     def _load_plan(self):
-        names = ("w_int", "w_int4", "w_scale", "in_scale", "in_offset",
-                 "pad_val", "bias_eff")
+        names = ("w_int", "w_int4", "w_scale", "in_scale", "in_inv_scale",
+                 "in_offset", "pad_val", "bias_eff")
         return {n: self.get_variable("qint", n) for n in names
                 if self.has_variable("qint", n)}
 
@@ -617,7 +618,8 @@ class QConv(nn.Module, _QuantOps, _IntOps):
 
         aqmin, aqmax = self._act_qrange(cfg)
         x_i8, _ = dp.act_to_int8(x, plan["in_scale"], plan["in_offset"],
-                                 aqmin, aqmax)
+                                 aqmin, aqmax,
+                                 inv_s_x=plan.get("in_inv_scale"))
         pads = self._spatial_pads(x)
         (plo, phi), (qlo, qhi) = pads
         x_p = jnp.pad(x_i8, ((0, 0), (plo, phi), (qlo, qhi), (0, 0)),
@@ -697,7 +699,8 @@ class QDense(nn.Module, _QuantOps, _IntOps):
 
         aqmin, aqmax = self._act_qrange(cfg)
         x_i8, _ = dp.act_to_int8(x, plan["in_scale"], plan["in_offset"],
-                                 aqmin, aqmax)
+                                 aqmin, aqmax,
+                                 inv_s_x=plan.get("in_inv_scale"))
         acc = jnp.dot(x_i8, w_int, preferred_element_type=jnp.int32)
         scale = plan["in_scale"] * plan["w_scale"]
         return acc.astype(jnp.float32) * scale + plan["bias_eff"]
