@@ -27,11 +27,14 @@ def get_model(name: str, **kwargs):
     from dlmc_quant_tpu.models import (  # noqa: F401
         efficientnet, ghostnet, mobilenetv2, mobileone, repvgg, resnet_cifar,
     )
-    try:
+    if name in _REGISTRY:
         return _REGISTRY[name](**kwargs)
-    except KeyError:
-        raise ValueError(
-            f"unknown model {name!r}; known: {sorted(_REGISTRY)}") from None
+    # tolerate case variations (configs say e.g. 'mobileone_s1')
+    folded = {k.lower(): k for k in _REGISTRY}
+    if name.lower() in folded:
+        return _REGISTRY[folded[name.lower()]](**kwargs)
+    raise ValueError(
+        f"unknown model {name!r}; known: {sorted(_REGISTRY)}")
 
 
 def list_models():
