@@ -514,6 +514,30 @@ class _IntOps:
         return plan["w_int"]
 
 
+def _s2d_conv(x_i8, w_int, pad_val):
+    """3x3/s2 SAME(0,1) conv as a space-to-depth 2x2/s1 VALID conv.
+
+    x_i8 (N, H, W, C) int8 with H, W even; returns int32 accumulator of
+    shape (N, H//2, W//2, O).  Exact: the kernel is zero-padded to 4x4
+    so the extra padded row/col contribute nothing; the genuine SAME
+    pad column/row is filled with the activation zero-point code.
+    """
+    n, h, w, c = x_i8.shape
+    o = w_int.shape[-1]
+    xp = jnp.pad(x_i8, ((0, 0), (0, 2), (0, 2), (0, 0)),
+                 constant_values=pad_val)
+    hp, wp = h + 2, w + 2
+    xs = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
+    w4 = jnp.pad(w_int, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w2 = w4.reshape(2, 2, 2, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+    w2 = w2.reshape(2, 2, 4 * c, o)
+    return jax.lax.conv_general_dilated(
+        xs, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
 def _batch_observe(x, cfg: TensorQConfig, ch_axis):
     kw = cfg.observer_kwargs
     name = cfg.type
@@ -622,23 +646,37 @@ class QConv(nn.Module, _QuantOps, _IntOps):
                                  inv_s_x=plan.get("in_inv_scale"))
         pads = self._spatial_pads(x)
         (plo, phi), (qlo, qhi) = pads
-        x_p = jnp.pad(x_i8, ((0, 0), (plo, phi), (qlo, qhi), (0, 0)),
-                      constant_values=plan["pad_val"])
-        scale_vec = jnp.broadcast_to(
-            (plan["in_scale"] * plan["w_scale"]).reshape(-1),
-            (w_int.shape[-1],))
         if (dp.USE_PALLAS_CONV and self.kernel_size == (3, 3)
                 and self.strides == (1, 1)
                 and self.feature_group_count == 1
                 and pads == ((1, 1), (1, 1))
                 and jax.default_backend() != "cpu"):
             from dlmc_quant_tpu.ops.pallas.qconv import int8_conv3x3
+            x_p = jnp.pad(x_i8, ((0, 0), (plo, phi), (qlo, qhi), (0, 0)),
+                          constant_values=plan["pad_val"])
+            scale_vec = jnp.broadcast_to(
+                (plan["in_scale"] * plan["w_scale"]).reshape(-1),
+                (w_int.shape[-1],))
             return int8_conv3x3(x_p, w_int, scale_vec, plan["bias_eff"])
-        acc = jax.lax.conv_general_dilated(
-            x_p, w_int, window_strides=self.strides, padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.int32)
+        if (self.kernel_size == (3, 3) and self.strides == (2, 2)
+                and self.feature_group_count == 1
+                and x.shape[-1] * 9 < 128
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and pads == ((0, 1), (0, 1))):
+            # space-to-depth stem: a 3x3/s2 conv over few channels (the
+            # ImageNet stem, C=3 -> K=27) starves the MXU's 128-lane
+            # contraction.  Zero-pad the kernel to 4x4, group input
+            # pixels 2x2 -> one 2x2/s1 conv over 4C channels (K=4*4C),
+            # numerically identical (the added taps are zero).
+            acc = _s2d_conv(x_i8, w_int, plan["pad_val"])
+        else:
+            x_p = jnp.pad(x_i8, ((0, 0), (plo, phi), (qlo, qhi), (0, 0)),
+                          constant_values=plan["pad_val"])
+            acc = jax.lax.conv_general_dilated(
+                x_p, w_int, window_strides=self.strides, padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count,
+                preferred_element_type=jnp.int32)
         scale = (plan["in_scale"] * plan["w_scale"]).reshape(1, 1, 1, -1)
         return acc.astype(jnp.float32) * scale + plan["bias_eff"]
 

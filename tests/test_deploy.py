@@ -183,3 +183,36 @@ class TestInt4Packing:
         v = _setup(m, x)
         assert _rel(m.apply(v, x, qmode="int"),
                     m.apply(v, x, qmode="eval")) < 3e-2
+
+
+class TestS2DStem:
+    def test_s2d_conv_exact_vs_general(self):
+        """3x3/s2 stem via space-to-depth matches the padded VALID conv
+        accumulator bit-for-bit (layers._s2d_conv)."""
+        import jax.numpy as jnp
+        from dlmc_quant_tpu.quant.layers import _s2d_conv
+        x_i8 = jax.random.randint(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                                  -128, 128, dtype=jnp.int8)
+        w_int = jax.random.randint(jax.random.PRNGKey(1), (3, 3, 3, 48),
+                                   -127, 128, dtype=jnp.int8)
+        pv = jnp.int8(-5)
+        acc = _s2d_conv(x_i8, w_int, pv)
+        xp = jnp.pad(x_i8, ((0, 0), (0, 1), (0, 1), (0, 0)),
+                     constant_values=pv)
+        ref = jax.lax.conv_general_dilated(
+            xp, w_int, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        np.testing.assert_array_equal(np.asarray(acc), np.asarray(ref))
+
+    def test_stem_qconv_int_matches_eval(self):
+        """QConv on the stem shape routes through s2d and stays close to
+        fake-quant eval."""
+        m = QConv(features=16, strides=(2, 2),
+                  scheme=scheme(w_bits=8, a_bits=8))
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(2),
+                                          (2, 16, 16, 3)))
+        v = _setup(m, x)
+        y_int = m.apply(v, x, qmode="int")
+        assert y_int.shape == (2, 8, 8, 16)
+        assert _rel(y_int, m.apply(v, x, qmode="eval")) < 3e-2

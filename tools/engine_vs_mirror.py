@@ -113,7 +113,7 @@ def main():
         float(jnp.sum(fn(*args).astype(jnp.float32)))
 
     best = {k: 1e9 for k in cands}
-    for rnd in range(4):
+    for rnd in range(2):
         for name, (fn, args) in cands.items():
             t = time_round(fn, *args)
             best[name] = min(best[name], t)
