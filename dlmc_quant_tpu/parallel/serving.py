@@ -59,6 +59,7 @@ class InferenceEngine:
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, qmode=self.qmode))
         self._queue: "queue.Queue" = queue.Queue()
+        self._carry = None          # request deferred to the next batch
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"batches": 0, "images": 0, "pad_waste": 0}
@@ -94,10 +95,30 @@ class InferenceEngine:
             self._thread.join(timeout=10)
 
     def submit(self, images: np.ndarray) -> Future:
-        """Enqueue a request (K,H,W,C); future resolves to (K, classes)."""
-        fut: Future = Future()
-        self._queue.put((np.asarray(images), fut))
-        return fut
+        """Enqueue a request (K,H,W,C); future resolves to (K, classes).
+
+        Requests larger than the device batch are split into chunks and
+        re-assembled before the future resolves."""
+        images = np.asarray(images)
+        if images.shape[0] <= self.batch_size:
+            fut: Future = Future()
+            self._queue.put((images, fut))
+            return fut
+        chunks = [images[i:i + self.batch_size]
+                  for i in range(0, images.shape[0], self.batch_size)]
+        parts = [Future() for _ in chunks]
+        for c, f in zip(chunks, parts):
+            self._queue.put((c, f))
+        out: Future = Future()
+
+        def _gather():
+            try:
+                out.set_result(np.concatenate([f.result() for f in parts]))
+            except Exception as e:
+                out.set_exception(e)
+
+        threading.Thread(target=_gather, daemon=True).start()
+        return out
 
     def _loop(self):
         while not self._stop.is_set():
@@ -105,11 +126,21 @@ class InferenceEngine:
             total = 0
             deadline = None
             while total < self.batch_size:
-                timeout = (self.max_wait if deadline is None
-                           else max(deadline - time.perf_counter(), 0))
-                try:
-                    imgs, fut = self._queue.get(timeout=timeout)
-                except queue.Empty:
+                if self._carry is not None:
+                    imgs, fut = self._carry
+                    self._carry = None
+                else:
+                    timeout = (self.max_wait if deadline is None
+                               else max(deadline - time.perf_counter(), 0))
+                    try:
+                        imgs, fut = self._queue.get(timeout=timeout)
+                    except queue.Empty:
+                        break
+                if total + len(imgs) > self.batch_size:
+                    # would overflow the fixed device batch: defer whole
+                    # request to the next step (keeps per-future results
+                    # complete)
+                    self._carry = (imgs, fut)
                     break
                 if deadline is None:
                     deadline = time.perf_counter() + self.max_wait
@@ -119,7 +150,7 @@ class InferenceEngine:
                 total += len(imgs)
             if not batch:
                 continue
-            x = np.concatenate(batch)[:self.batch_size]
+            x = np.concatenate(batch)
             n = x.shape[0]
             try:
                 out = np.asarray(self.forward(x))

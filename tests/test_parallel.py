@@ -124,3 +124,30 @@ class TestServing:
         eng = InferenceEngine(m, v, mesh=None, batch_size=4, qmode="fp")
         ips = measure_throughput(eng, (32, 32, 3), n_batches=3)
         assert ips > 0
+
+    def test_oversize_and_overflow_requests(self):
+        """Requests that exceed the device batch are chunked; a request
+        that would overflow the current batch is deferred whole, never
+        truncated."""
+        m = get_model("cifar_resnet20", num_classes=10, scheme=_w8a8())
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(0),
+                                          (16, 32, 32, 3)))
+        v = m.init(jax.random.PRNGKey(1), x)
+        v = calibrate(m, v, [x[:8]])
+        v = prepare_deploy(m, v, sample_input=x[:8])
+        eng = InferenceEngine(m, v, mesh=None, batch_size=8, qmode="int",
+                              max_wait_ms=10)
+        eng.warmup((32, 32, 3))
+        eng.start()
+        try:
+            f_big = eng.submit(np.asarray(x[:12]))       # > batch_size
+            f_mix = [eng.submit(np.asarray(x[12 + i:12 + i + 2]))
+                     for i in range(0, 4, 2)]            # overflow packing
+            big = f_big.result(timeout=120)
+            mix = [f.result(timeout=120) for f in f_mix]
+        finally:
+            eng.stop()
+        assert big.shape == (12, 10)
+        assert all(o.shape == (2, 10) for o in mix)
+        direct = np.asarray(eng.forward(np.asarray(x[:8])))
+        np.testing.assert_allclose(big[:8], direct, rtol=1e-4, atol=1e-5)
