@@ -44,6 +44,12 @@ import jax.numpy as jnp
 # flag remains for A/B benchmarking of kernel work.
 USE_PALLAS_CONV = os.environ.get("DLMCQ_PALLAS_CONV", "0") == "1"
 
+# Opt-in: rewrite 3x3/s2 small-channel stems as space-to-depth 2x2/s1
+# convs (see layers._s2d_conv).  Exact, but measured slightly slower on
+# the v5e chip (tools/mirror_morph.py) — the int8 input relayout costs
+# more than the fatter MXU contraction saves.
+USE_S2D_STEM = os.environ.get("DLMCQ_S2D_STEM", "0") == "1"
+
 
 def affine_from_quantizer(family: str, cfg, params: Dict, qstate: Dict,
                           role: str):
@@ -93,16 +99,26 @@ def act_shift(qmax: int) -> int:
     return 128 if qmax > 127 else 0
 
 
-def act_to_int8(x, s_x, o_x, qmin: int, qmax: int, inv_s_x=None):
+def act_to_int8(x, s_x, o_x, qmin: int, qmax: int, inv_s_x=None,
+                qbias=None):
     """Quantize activations to int8 codes:
     x ≈ (x_i8 + shift)·s_x + o_x with shift = act_shift(qmax).
 
-    ``inv_s_x`` (precomputed 1/s_x from the deploy plan) turns the
-    per-element fp32 divide into a multiply — scales are runtime values,
-    so XLA cannot do this strength reduction itself, and VPU divides are
-    ~an order of magnitude slower than multiplies inside the quantize
-    fusion that sits between every pair of convs."""
+    Fast path (both ``inv_s_x`` and ``qbias`` precomputed in the deploy
+    plan): one fused multiply-add ``clip(round(x·a + b))`` with
+    ``a = 1/s_x`` and ``b = -o_x/s_x - shift``.  Measured on the v5e
+    chip this single-FMA form costs ~1.1 ms less per RepVGG-A0 batch-256
+    forward than the naive ``(x - o)/s`` → unsigned clip → ``- shift``
+    chain (tools/mirror_morph.py); scales are runtime values so XLA
+    cannot do the strength reduction itself.  ``round(x·a + b)`` may
+    differ from ``round((x - o)·a) - shift`` by one code at exact
+    rounding boundaries (fp reassociation) — within quantization noise.
+    """
     shift = act_shift(qmax)
+    if inv_s_x is not None and qbias is not None:
+        q = jnp.clip(jnp.round(x * inv_s_x + qbias),
+                     qmin - shift, qmax - shift)
+        return q.astype(jnp.int8), shift
     scaled = (x - o_x) * inv_s_x if inv_s_x is not None else (x - o_x) / s_x
     q = jnp.clip(jnp.round(scaled), qmin, qmax) - shift
     return q.astype(jnp.int8), shift

@@ -491,6 +491,7 @@ class _IntOps:
             plan.update({
                 "in_scale": s_x.astype(jnp.float32),
                 "in_inv_scale": (1.0 / s_x).astype(jnp.float32),
+                "in_qbias": (-o_x / s_x - shift).astype(jnp.float32),
                 "in_offset": o_x.astype(jnp.float32),
                 "pad_val": dp.int8_pad_value(s_x, o_x, aqmin, aqmax),
                 "bias_eff": bias_eff.astype(jnp.float32),
@@ -503,7 +504,7 @@ class _IntOps:
 
     def _load_plan(self):
         names = ("w_int", "w_int4", "w_scale", "in_scale", "in_inv_scale",
-                 "in_offset", "pad_val", "bias_eff")
+                 "in_qbias", "in_offset", "pad_val", "bias_eff")
         return {n: self.get_variable("qint", n) for n in names
                 if self.has_variable("qint", n)}
 
@@ -643,7 +644,8 @@ class QConv(nn.Module, _QuantOps, _IntOps):
         aqmin, aqmax = self._act_qrange(cfg)
         x_i8, _ = dp.act_to_int8(x, plan["in_scale"], plan["in_offset"],
                                  aqmin, aqmax,
-                                 inv_s_x=plan.get("in_inv_scale"))
+                                 inv_s_x=plan.get("in_inv_scale"),
+                                 qbias=plan.get("in_qbias"))
         pads = self._spatial_pads(x)
         (plo, phi), (qlo, qhi) = pads
         if (dp.USE_PALLAS_CONV and self.kernel_size == (3, 3)
@@ -658,16 +660,20 @@ class QConv(nn.Module, _QuantOps, _IntOps):
                 (plan["in_scale"] * plan["w_scale"]).reshape(-1),
                 (w_int.shape[-1],))
             return int8_conv3x3(x_p, w_int, scale_vec, plan["bias_eff"])
-        if (self.kernel_size == (3, 3) and self.strides == (2, 2)
+        if (dp.USE_S2D_STEM
+                and self.kernel_size == (3, 3) and self.strides == (2, 2)
                 and self.feature_group_count == 1
                 and x.shape[-1] * 9 < 128
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
                 and pads == ((0, 1), (0, 1))):
             # space-to-depth stem: a 3x3/s2 conv over few channels (the
-            # ImageNet stem, C=3 -> K=27) starves the MXU's 128-lane
-            # contraction.  Zero-pad the kernel to 4x4, group input
-            # pixels 2x2 -> one 2x2/s1 conv over 4C channels (K=4*4C),
-            # numerically identical (the added taps are zero).
+            # ImageNet stem, C=3 -> K=27) regrouped as one 2x2/s1 conv
+            # over 4C channels (K=4*4C), numerically identical (the
+            # added taps are zero).  Opt-in: measured on the v5e chip
+            # (tools/mirror_morph.py) the input relayout costs slightly
+            # more than the fatter contraction saves (~+0.2 ms on a
+            # RepVGG-A0 batch-256 forward), XLA's native small-C conv
+            # lowering is already adequate.
             acc = _s2d_conv(x_i8, w_int, plan["pad_val"])
         else:
             x_p = jnp.pad(x_i8, ((0, 0), (plo, phi), (qlo, qhi), (0, 0)),
@@ -738,7 +744,8 @@ class QDense(nn.Module, _QuantOps, _IntOps):
         aqmin, aqmax = self._act_qrange(cfg)
         x_i8, _ = dp.act_to_int8(x, plan["in_scale"], plan["in_offset"],
                                  aqmin, aqmax,
-                                 inv_s_x=plan.get("in_inv_scale"))
+                                 inv_s_x=plan.get("in_inv_scale"),
+                                 qbias=plan.get("in_qbias"))
         acc = jnp.dot(x_i8, w_int, preferred_element_type=jnp.int32)
         scale = plan["in_scale"] * plan["w_scale"]
         return acc.astype(jnp.float32) * scale + plan["bias_eff"]

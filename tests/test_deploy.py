@@ -205,9 +205,11 @@ class TestS2DStem:
             preferred_element_type=jnp.int32)
         np.testing.assert_array_equal(np.asarray(acc), np.asarray(ref))
 
-    def test_stem_qconv_int_matches_eval(self):
-        """QConv on the stem shape routes through s2d and stays close to
-        fake-quant eval."""
+    def test_stem_qconv_int_matches_eval(self, monkeypatch):
+        """QConv on the stem shape routes through s2d (opt-in flag) and
+        stays close to fake-quant eval."""
+        from dlmc_quant_tpu.quant import deploy as dp
+        monkeypatch.setattr(dp, "USE_S2D_STEM", True)
         m = QConv(features=16, strides=(2, 2),
                   scheme=scheme(w_bits=8, a_bits=8))
         x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(2),

@@ -58,7 +58,11 @@ def make_chain(per_channel, act_affine, traced_pad, s2d):
     def chain(x, wis, scales, biases, pad_val):
         pv = pad_val if traced_pad else jnp.int8(-3)
         for li, ((ci, co, s), wi) in enumerate(zip(LAYERS, wis)):
-            if act_affine:
+            if act_affine == "folded":
+                # offset+shift folded into one multiply-add
+                xi = jnp.clip(jnp.round(x * 25.0 + (-0.25 - 128.0)),
+                              -128, 127).astype(jnp.int8)
+            elif act_affine:
                 xi = (jnp.clip(jnp.round((x - 0.01) * 25.0), 0, 255)
                       - 128).astype(jnp.int8)
             else:
@@ -98,10 +102,10 @@ def main():
 
     variants = {
         "m0 mirror": (False, False, False, False),
-        "m1 +perch": (True, False, False, False),
         "m2 +affine": (True, True, False, False),
-        "m3 +tpad": (True, True, True, False),
-        "m4 +s2d": (True, True, True, True),
+        "m2f folded": (True, "folded", False, False),
+        "m2f+tpad": (True, "folded", True, False),
+        "m2f+s2d": (True, "folded", True, True),
     }
     fns = {}
     for name, flags in variants.items():
