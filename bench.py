@@ -33,20 +33,31 @@ import jax.numpy as jnp  # noqa: E402
 BATCH = 256
 ITERS = 30
 WARMUP = 3
+ROUNDS = 3
 
 
-def _throughput(fn, variables, x, iters=ITERS):
-    # warm + compile
-    float(jnp.sum(fn(variables, x)))
-    for _ in range(WARMUP):
-        y = fn(variables, x)
-    float(jnp.sum(y))
+def _one_round(fn, variables, x, iters=ITERS):
     t0 = time.perf_counter()
     for _ in range(iters):
         y = fn(variables, x)
     float(jnp.sum(y))  # fence: forces all queued work to finish
-    dt = time.perf_counter() - t0
-    return x.shape[0] * iters / dt
+    return x.shape[0] * iters / (time.perf_counter() - t0)
+
+
+def _throughput_pair(fn_a, fn_b, variables, x):
+    """Interleaved best-of-ROUNDS for two programs: the TPU tunnel's
+    throughput drifts +-15% across minutes, so alternating rounds and
+    taking each side's best keeps the ratio honest."""
+    for fn in (fn_a, fn_b):            # compile + warm
+        float(jnp.sum(fn(variables, x)))
+        for _ in range(WARMUP):
+            y = fn(variables, x)
+        float(jnp.sum(y))
+    best_a = best_b = 0.0
+    for _ in range(ROUNDS):
+        best_a = max(best_a, _one_round(fn_a, variables, x))
+        best_b = max(best_b, _one_round(fn_b, variables, x))
+    return best_a, best_b
 
 
 def main():
@@ -74,8 +85,7 @@ def main():
     int8_fn = jax.jit(lambda v, x: model.apply(v, x, qmode="int"))
     fp_fn = jax.jit(lambda v, x: model.apply(v, x, qmode="fp"))
 
-    ips_int8 = _throughput(int8_fn, variables, x)
-    ips_fp32 = _throughput(fp_fn, variables, x)
+    ips_int8, ips_fp32 = _throughput_pair(int8_fn, fp_fn, variables, x)
 
     print(json.dumps({
         "metric": "repvgg_a0_int8_images_per_sec_per_chip",
