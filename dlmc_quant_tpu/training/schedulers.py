@@ -48,12 +48,28 @@ def MultiStepLR(lr: float, milestones: Sequence[int], steps_per_epc: int,
     return _with_warmup(base, lr, warmup_steps)
 
 
-def CosineDecayLR(lr: float, total_steps: int,
-                  warmup_steps: int = 0, min_lr: float = 0.0) -> Schedule:
-    """Half-cosine decay lr→min_lr over total_steps.
+def _span_steps(steps, epochs, steps_per_epc, what: str) -> int:
+    """Span given in steps, or in epochs × steps_per_epc (the trainer
+    injects steps_per_epc like the reference's init_obj(optimizer,
+    len(train_loader)) — ref: RootQ_train.py:79)."""
+    if steps is not None:
+        return int(steps)
+    if epochs is not None and steps_per_epc is not None:
+        return int(epochs * steps_per_epc)
+    raise ValueError(f"{what}: give either a *_steps value or an "
+                     "epoch count (with steps_per_epc)")
+
+
+def CosineDecayLR(lr: float, total_steps: int = None,
+                  warmup_steps: int = 0, min_lr: float = 0.0,
+                  total_epochs: int = None,
+                  steps_per_epc: int = None) -> Schedule:
+    """Half-cosine decay lr→min_lr over total_steps (or total_epochs).
 
     ref: lr_scheduler.py:364-396
     """
+    total_steps = _span_steps(total_steps, total_epochs, steps_per_epc,
+                              "CosineDecayLR")
     span = max(total_steps - warmup_steps, 1)
 
     def base(step):
@@ -62,9 +78,14 @@ def CosineDecayLR(lr: float, total_steps: int,
     return _with_warmup(base, lr, warmup_steps)
 
 
-def CosineAnnealingLR(lr: float, cycle_steps: int, warmup_steps: int = 0,
-                      min_lr: float = 0.0, t_mult: float = 1.0) -> Schedule:
+def CosineAnnealingLR(lr: float, cycle_steps: int = None,
+                      warmup_steps: int = 0,
+                      min_lr: float = 0.0, t_mult: float = 1.0,
+                      cycle_epochs: int = None,
+                      steps_per_epc: int = None) -> Schedule:
     """Restarting cosine cycles.  ref: lr_scheduler.py:399-452"""
+    cycle_steps = _span_steps(cycle_steps, cycle_epochs, steps_per_epc,
+                              "CosineAnnealingLR")
     def base(step):
         step = jnp.asarray(step, jnp.float32)
         if t_mult == 1.0:
@@ -80,12 +101,16 @@ def CosineAnnealingLR(lr: float, cycle_steps: int, warmup_steps: int = 0,
     return _with_warmup(base, lr, warmup_steps)
 
 
-def CosineCyclicLR(lr: float, cycle_steps: int, warmup_steps: int = 0,
-                   min_lr: float = 0.0) -> Schedule:
+def CosineCyclicLR(lr: float, cycle_steps: int = None,
+                   warmup_steps: int = 0, min_lr: float = 0.0,
+                   cycle_epochs: int = None,
+                   steps_per_epc: int = None) -> Schedule:
     """Symmetric cosine oscillation between lr and min_lr.
 
     ref: lr_scheduler.py:306-361
     """
+    cycle_steps = _span_steps(cycle_steps, cycle_epochs, steps_per_epc,
+                              "CosineCyclicLR")
     def base(step):
         t = (jnp.asarray(step, jnp.float32) % cycle_steps) / cycle_steps
         return min_lr + (lr - min_lr) * 0.5 * (1.0 + jnp.cos(
@@ -113,7 +138,9 @@ class ReduceLROnPlateau:
 
     def __init__(self, lr: float, mode: str = "min", factor: float = 0.1,
                  patience: int = 10, min_lr: float = 0.0,
-                 threshold: float = 1e-4, warmup_steps: int = 0):
+                 threshold: float = 1e-4, warmup_steps: int = 0,
+                 steps_per_epc: int = None):  # accepted for parity; the
+        # epoch boundary is explicit here (epoch_end) rather than counted
         self.base_lr = lr
         self.mode = mode
         self.factor = factor
