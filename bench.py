@@ -30,7 +30,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
 
-BATCH = 256
+BATCH = 512   # measured ~20% faster than 256 on the v5e chip (better
+              # MXU utilization on the 14x14 stages); 1024 adds little
+              # and doubles compile time
 ITERS = 30
 WARMUP = 3
 ROUNDS = 3

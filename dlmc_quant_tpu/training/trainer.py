@@ -210,19 +210,18 @@ class Trainer:
         kw = self._apply_kwargs()
         qmode = "eval" if self.train_qmode != "fp" else "fp"
 
-        def eval_step(state: TrainState, x, y):
-            logits = self.model.apply(state.variables(), x, train=False,
-                                      qmode=qmode, **kw)
-            metrics = {"loss": self.loss_fn(logits, y)}
-            for name, fn in self.metric_fns.items():
-                metrics[name] = fn(logits, y)
-            return metrics
+        def eval_step(state: TrainState, x):
+            # returns replicated logits; metrics are computed on the
+            # unpadded rows by the caller (eval batches may need padding
+            # to the data-axis size — see _valid_epoch)
+            return self.model.apply(state.variables(), x, train=False,
+                                    qmode=qmode, **kw)
 
         return jax.jit(
             eval_step,
             in_shardings=(replicate(self.mesh),
-                          data_sharding(self.mesh, 4),
-                          data_sharding(self.mesh, 1)))
+                          data_sharding(self.mesh, 4)),
+            out_shardings=replicate(self.mesh))
 
     # ------------------------------------------------------------------
     def _put_batch(self, x, y):
@@ -313,10 +312,20 @@ class Trainer:
     def _valid_epoch(self, epoch: int) -> Dict[str, float]:
         totals: Dict[str, float] = {}
         n = 0
+        dsize = int(self.mesh.shape.get("data", 1))
         for x, y in self.valid_loader:
-            xb, yb = self._put_batch(x, y)
-            m = self._eval_step(self.state, xb, yb)
             bs = len(y)
+            x = np.asarray(x)
+            pad = (-bs) % dsize
+            if pad:   # last eval batch may not divide the data axis
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            xb = jax.device_put(jnp.asarray(x),
+                                data_sharding(self.mesh, x.ndim))
+            logits = self._eval_step(self.state, xb)[:bs]
+            yb = jnp.asarray(np.asarray(y))
+            m = {"loss": self.loss_fn(logits, yb)}
+            for name, fn in self.metric_fns.items():
+                m[name] = fn(logits, yb)
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v) * bs
             n += bs
