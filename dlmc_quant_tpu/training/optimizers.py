@@ -50,6 +50,22 @@ def build_optimizer(opt_type: str, lr: ScheduleOrFloat,
     base settings.  ``grad_clip`` adds global-norm clipping
     (ref: quantization_aware_training_trainer.py:68-69).
     """
+    from dlmc_quant_tpu.training.schedulers import ReduceLROnPlateau
+    if isinstance(lr, ReduceLROnPlateau):
+        # metric-driven schedule: the rate is an injected hyperparameter
+        # the Trainer rewrites after each epoch (sched.epoch_end) — a
+        # jitted schedule callable can't see host-side plateau state
+        if param_groups:
+            raise ValueError("ReduceLROnPlateau cannot be combined with "
+                             "param_groups")
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: _base_tx(opt_type, learning_rate,
+                                           **kwargs))(
+            learning_rate=lr.lr)
+        if grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        return tx
+
     if param_groups:
         labels_and_tx = {"__default__": _base_tx(opt_type, lr, **kwargs)}
         compiled = []

@@ -129,6 +129,14 @@ class Trainer:
         if resume:
             self._resume(resume)
 
+        # metric-driven LR: ReduceLROnPlateau state lives on the host;
+        # its current rate is an injected optax hyperparameter rewritten
+        # after every epoch (see _sync_plateau_lr)
+        from dlmc_quant_tpu.training.schedulers import ReduceLROnPlateau
+        self.plateau = (lr_schedule
+                        if isinstance(lr_schedule, ReduceLROnPlateau)
+                        else None)
+
         # per-epoch fixed seeds for reproducible fine-tuning
         # (ref: base_trainer.py:50-51,92-96)
         seed = int(cfg.get("random_seed", 0))
@@ -227,12 +235,36 @@ class Trainer:
     def _put_batch(self, x, y):
         return shard_batch((jnp.asarray(x), jnp.asarray(y)), self.mesh)
 
+    def _sync_plateau_lr(self, result: Dict[str, float]):
+        """Feed the epoch metric to ReduceLROnPlateau and rewrite the
+        injected learning_rate hyperparameter in the optimizer state."""
+        metric = result.get("val_loss", result.get("loss"))
+        if metric is None:
+            return
+        self.plateau.record(metric)
+        self.plateau.epoch_end()
+
+        def rewrite(s):
+            if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+                hp = dict(s.hyperparams)
+                hp["learning_rate"] = jnp.asarray(self.plateau.lr,
+                                                  jnp.float32)
+                return s._replace(hyperparams=hp)
+            if isinstance(s, tuple) and not hasattr(s, "_fields"):
+                return tuple(rewrite(e) for e in s)
+            return s
+
+        self.state = self.state.replace(
+            opt_state=rewrite(self.state.opt_state))
+
     def train(self) -> Dict[str, float]:
         """Epoch loop with monitor/early-stop.  ref: base_trainer.py:86-111"""
         last = {}
         for epoch in range(self.start_epoch, self.epochs + 1):
             result = self._train_epoch(epoch)
             last = result
+            if self.plateau is not None:
+                self._sync_plateau_lr(result)
             if self.monitor_mode:
                 current = result.get(self.monitor_metric)
                 if current is not None:
@@ -291,11 +323,16 @@ class Trainer:
                 for k, v in metrics.items():
                     self.tracker.update(k, float(v))
                 self._log_quant_scalars()
+                if self.plateau is not None:
+                    cur_lr = self.plateau.lr
+                elif callable(self.lr_schedule):
+                    cur_lr = float(self.lr_schedule(self.state.step))
+                else:
+                    cur_lr = float(self.lr_schedule)
                 self.logger.info(
                     "epoch %d [%d/%d] loss=%.4f lr=%.2e",
                     epoch, i + 1, n_batches, self.tracker.avg("loss"),
-                    float(self.lr_schedule(self.state.step))
-                    if callable(self.lr_schedule) else self.lr_schedule)
+                    cur_lr)
             # mid-epoch validation on process 0 (ref: trainer:72-85)
             if (self.valid_loader is not None
                     and (i + 1) % self.valid_log_step == 0

@@ -220,3 +220,35 @@ class TestTrainerE2E:
         np.testing.assert_allclose(
             np.asarray(tr2.state.params["conv1"]["kernel"]),
             np.asarray(tr.state.params["conv1"]["kernel"]))
+
+
+class TestPlateauInTrainer:
+    def test_plateau_lr_injected_and_decays(self):
+        """ReduceLROnPlateau drives the optimizer through
+        inject_hyperparams: with patience 0 and a flat metric the rate
+        must drop after the plateau epochs."""
+        model, variables, train, val = _tiny_setup(n_train=128)
+        sched = S.ReduceLROnPlateau(0.05, mode="min", factor=0.5,
+                                    patience=0, threshold=1e9)
+        tx = build_optimizer("SGD", sched)
+        tr = Trainer(model, variables, tx, sched, train, None,
+                     config={"epochs": 3}, mesh=make_mesh(8))
+        tr.train()
+        # threshold=1e9 means no epoch ever counts as an improvement
+        # after the first, so with patience 0 epochs 2 and 3 each halve
+        assert sched.lr == pytest.approx(0.05 * 0.5 * 0.5)
+
+        def find_hp(s):
+            if hasattr(s, "hyperparams"):
+                return s
+            if isinstance(s, tuple):
+                for e in s:
+                    r = find_hp(e)
+                    if r is not None:
+                        return r
+            return None
+
+        hp = find_hp(tr.state.opt_state)
+        assert hp is not None
+        assert float(hp.hyperparams["learning_rate"]) == pytest.approx(
+            sched.lr)
