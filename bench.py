@@ -62,7 +62,7 @@ def _throughput_pair(fn_a, fn_b, variables, x):
     return best_a, best_b
 
 
-def main():
+def _bench_model(name: str, batch: int, **model_kw):
     from dlmc_quant_tpu.models import get_model
     from dlmc_quant_tpu.quant.config import scheme_from_dict
     from dlmc_quant_tpu.quant.deploy import prepare_deploy
@@ -75,9 +75,8 @@ def main():
         "input": {"enable": True, "type": "minmax_tensor",
                   "args": {"n_bits": 8, "signed": False}},
     })
-    model = get_model("RepVGG_A0", num_classes=1000, deploy=True,
-                      scheme=scheme)
-    x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 224, 224, 3),
+    model = get_model(name, num_classes=1000, scheme=scheme, **model_kw)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, 224, 224, 3),
                            jnp.float32)
     xc = x[:8]
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), xc)
@@ -86,15 +85,26 @@ def main():
 
     int8_fn = jax.jit(lambda v, x: model.apply(v, x, qmode="int"))
     fp_fn = jax.jit(lambda v, x: model.apply(v, x, qmode="fp"))
+    return _throughput_pair(int8_fn, fp_fn, variables, x)
 
-    ips_int8, ips_fp32 = _throughput_pair(int8_fn, fp_fn, variables, x)
+
+def main():
+    ips_int8, ips_fp32 = _bench_model("RepVGG_A0", BATCH, deploy=True)
+    extra = {"fp32_ips": round(ips_fp32, 1), "batch": BATCH}
+    try:
+        # second headline model per BASELINE.json's metric spec
+        r50_int8, r50_fp32 = _bench_model("resnet50", 256)
+        extra["resnet50_int8_ips"] = round(r50_int8, 1)
+        extra["resnet50_fp32_ips"] = round(r50_fp32, 1)
+    except Exception as e:   # never fail the headline on the extra
+        extra["resnet50_error"] = str(e)[:120]
 
     print(json.dumps({
         "metric": "repvgg_a0_int8_images_per_sec_per_chip",
         "value": round(ips_int8, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_int8 / ips_fp32, 3),
-        "extra": {"fp32_ips": round(ips_fp32, 1), "batch": BATCH},
+        "extra": extra,
     }))
 
 

@@ -276,7 +276,7 @@ class Trainer:
                         self.not_improved = 0
                         if self.ckpt and self.process_index == 0:
                             self.ckpt.save_best(
-                                self.state.variables(),
+                                self._resume_tree(),
                                 {"epoch": epoch,
                                  self.monitor_metric: current})
                     else:
@@ -288,7 +288,7 @@ class Trainer:
                         break
             if (self.ckpt and self.process_index == 0
                     and epoch % self.save_period == 0):
-                self.ckpt.save_epoch(epoch, self.state.variables(),
+                self.ckpt.save_epoch(epoch, self._resume_tree(),
                                      {"epoch": epoch, **result,
                                       "monitor_best": self.monitor_best})
         return last
@@ -377,20 +377,32 @@ class Trainer:
         """Subclass hook: QAT logs in_scale/wt_alpha etc."""
 
     # ------------------------------------------------------------------
-    def save(self, path, metadata=None):
-        return save_checkpoint(path, {
+    def _resume_tree(self):
+        """Full trainer state: what epoch/best checkpoints store, so -r
+        restores optimizer/step too (ref: base_trainer.py:261-273)."""
+        return {
             "variables": self.state.variables(),
             "opt_state": self.state.opt_state,
             "step": np.asarray(self.state.step),
-        }, metadata)
+        }
+
+    def save(self, path, metadata=None):
+        return save_checkpoint(path, self._resume_tree(), metadata)
 
     def _resume(self, path):
         """ref: base_trainer.py:182-228"""
-        tree, meta = load_checkpoint(path, target={
-            "variables": self.state.variables(),
-            "opt_state": self.state.opt_state,
-            "step": np.asarray(self.state.step),
-        })
+        try:
+            tree, meta = load_checkpoint(path, target=self._resume_tree())
+        except Exception:
+            # weights-only checkpoint (PTQ quantized_model, legacy best
+            # files): restore variables, keep fresh optimizer/step
+            vtree, meta = load_checkpoint(
+                path, target=self.state.variables())
+            self.logger.info("weights-only checkpoint; optimizer state "
+                             "re-initialized")
+            tree = {"variables": vtree,
+                    "opt_state": self.state.opt_state,
+                    "step": np.asarray(self.state.step)}
         v = tree["variables"]
         self.state = self.state.replace(
             params=v["params"], qstate=v.get("qstate", {}),
