@@ -93,6 +93,53 @@ def discover_blocks(model, variables, sample_x,
     return [(p, found[p]) for p in order]
 
 
+def first_quant_path(model, variables, sample_x, **apply_kw) -> Optional[str]:
+    """Path of the first quantized layer (call order) whose activation
+    quantizer is enabled, or None.  Used to reproduce the reference's
+    ``change_model_state``: activation quant stays OFF on the first conv
+    during reconstruction and eval (ref: fsptq_trainer.py:155-161)."""
+    scheme = getattr(model, "scheme", None)
+    if scheme is None:
+        return None
+    hit: List[str] = []
+
+    def interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        if not hit and hasattr(mod, "_resolve_cfg"):
+            path = ".".join(str(p) for p in mod.path)
+            cfg = scheme.resolve(path)
+            if cfg is not None and cfg.input.enable:
+                hit.append(path)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        model.apply(variables, sample_x, qmode="fp", **apply_kw)
+    return hit[0] if hit else None
+
+
+def disable_act_quant_on(model, path: str):
+    """New model whose scheme disables input quantization for ``path``.
+
+    Prepends an override carrying the layer's fully-resolved config with
+    ``input.enable`` forced off, so any existing override for that layer
+    is preserved (resolution stops at the first match)."""
+    import dataclasses as dc
+    import re as _re
+
+    from dlmc_quant_tpu.quant.config import _freeze
+
+    scheme = model.scheme
+    cfg = scheme.resolve(path)
+    if cfg is None:
+        return model
+    opts = cfg.to_dict()
+    opts["input"]["enable"] = False
+    new_over = (((
+        _re.escape(path) + "$",), _freeze(opts)),) + scheme.override_options
+    return dc.replace(model, scheme=dc.replace(
+        scheme, override_options=new_over))
+
+
 def capture_block_io(model, variables, batches, target: Tuple[str, ...],
                      qmode: str, **apply_kw):
     """Run the model over ``batches`` capturing (input, output) of the
@@ -198,11 +245,17 @@ class FSPTQTrainer:
         self.block_types = block_types
         self.layer_names = layer_names
         self.logger = logger or get_logger("fsptq")
-        # ref: fsptq_trainer.py:155-161 change_model_state disables
-        # activation quant on the first conv — expressed here through the
-        # scheme's exclude/override instead (caller responsibility); flag
-        # kept for API parity.
+        # ref: fsptq_trainer.py:155-161 change_model_state keeps
+        # activation quant OFF on the first conv during reconstruction
+        # and validation; expressed here as a prepended scheme override.
         self.disable_first_act_quant = disable_first_act_quant
+        if disable_first_act_quant:
+            path = first_quant_path(self.model, self.variables,
+                                    self.cal_batches[0])
+            if path is not None:
+                self.model = disable_act_quant_on(self.model, path)
+                self.logger.info(
+                    "disabled activation quant on first layer %s", path)
 
     def train(self) -> Dict:
         t0 = time.time()

@@ -30,13 +30,16 @@ class QATTrainer(Trainer):
         self.update_qparams_period = int(
             self.cfg.get("update_qparams_period", 0) or 0)
 
-    def _on_step(self, epoch: int, batch_idx: int):
-        """Periodic re-calibration: re-run the explicit calibration pass on
-        the next batch (ref: qat trainer:43-48 reset_qparams)."""
+    def _on_step(self, epoch: int, batch_idx: int, batch=None):
+        """Periodic re-calibration on the *current* batch of the live
+        stream, matching the reference's reset_qparams-then-forward
+        semantics (ref: qat trainer:43-48) — each recalibration sees a
+        different batch as data drifts."""
         if (self.update_qparams_period
                 and int(self.state.step) > 0
                 and int(self.state.step) % self.update_qparams_period == 0):
-            x, _ = next(iter(self.train_loader))
+            x = batch[0] if batch is not None \
+                else next(iter(self.train_loader))[0]
             variables = calibrate(self.model, self.state.variables(),
                                   [jnp.asarray(x)])
             # fresh buffers: the donated train step must not see aliases

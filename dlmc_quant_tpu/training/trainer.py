@@ -293,8 +293,9 @@ class Trainer:
                                       "monitor_best": self.monitor_best})
         return last
 
-    def _on_step(self, epoch: int, batch_idx: int):
-        """Subclass hook before each gradient step."""
+    def _on_step(self, epoch: int, batch_idx: int, batch=None):
+        """Subclass hook before each gradient step.  ``batch`` is the
+        live (x, y) about to be stepped on (host arrays)."""
 
     def _train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(int(self.epoch_seeds[epoch % len(
@@ -304,7 +305,7 @@ class Trainer:
         n_batches = len(self.train_loader)
         result: Dict[str, float] = {}
         for i, (x, y) in enumerate(self.train_loader):
-            self._on_step(epoch, i)
+            self._on_step(epoch, i, (x, y))
             xb, yb = self._put_batch(x, y)
             self.state, metrics = self._train_step(self.state, xb, yb)
             if self.cfg.get("detect_anomalies"):

@@ -83,9 +83,13 @@ def main():
         qmodel, qvars, fp_model, fp_variables, cal_batches,
         iters=int(tcfg.get("epochs", 2000)),
         batch_size=int(tcfg.get("recon_batch", 64)),
-        lrs=tcfg.get("lrs"), logger=logger)
+        lrs=tcfg.get("lrs"), logger=logger,
+        # ref: fsptq_trainer.py:155-161 — act quant off on the first conv
+        disable_first_act_quant=bool(
+            tcfg.get("disable_first_act_quant", True)))
     out = trainer.train()
     qvars = out["variables"]
+    qmodel = trainer.model          # scheme may carry the first-conv override
 
     loss_fn = get_loss(config.get("loss", "cross_entropy"))
     metric_fns = {m: get_metric(m)

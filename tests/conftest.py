@@ -18,6 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import pytest  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -26,3 +28,26 @@ jax.config.update("jax_enable_x64", False)
 # warm-cache reruns drop to a fraction of that.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic interpreter exit.  The axon PJRT plugin (registered for
+# every python process by this environment's sitecustomize) has a C++
+# teardown that can hang — or kill the process before stdio flushes,
+# eating pytest's summary line.  All test work is finished by
+# pytest_unconfigure: flush, then exit with pytest's real status, never
+# entering the broken plugin teardown.
+# ---------------------------------------------------------------------------
+
+def pytest_sessionfinish(session, exitstatus):
+    session.config._dlmcq_exitstatus = int(exitstatus)
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_unconfigure(config):
+    import os as _os
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    _os._exit(int(getattr(config, "_dlmcq_exitstatus", 0)))
