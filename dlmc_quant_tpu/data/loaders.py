@@ -227,6 +227,138 @@ class PrefetchLoader:
         t.join()
 
 
+class ImageFolderDataset:
+    """Streaming ImageFolder dataset: O(batch) memory.
+
+    Holds only file paths + labels; ``get_batch`` decodes the requested
+    images on a thread pool (PIL/libjpeg release the GIL during decode)
+    and applies the transform per batch:
+
+      train: RandomResizedCrop(size, scale=(0.08, 1)) + random hflip
+             (ref: data_loader/data_loaders.py:66-70)
+      eval:  Resize(size/0.875) + CenterCrop(size)
+             (ref: data_loader/data_loaders.py:71-77)
+
+    This replaces materializing the whole split in RAM (1.28M ImageNet
+    train images ≈ 190 GB): steady-state memory is ``depth × batch``
+    decoded images when wrapped in a PrefetchLoader.
+    """
+
+    def __init__(self, paths, labels, size: int = 224, mean=None, std=None,
+                 train_augment: bool = False, num_workers: int = 8):
+        self.paths = list(paths)
+        self.labels = np.asarray(labels, np.int32)
+        self.size = size
+        self.mean = mean
+        self.std = std
+        self.train_augment = train_augment
+        self.num_workers = max(int(num_workers), 1)
+        self._pool = None
+
+    def __len__(self):
+        return len(self.paths)
+
+    # pickling (e.g. for copies): drop the live pool
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_pool"] = None
+        return d
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="imgdecode")
+        return self._pool
+
+    # -- transforms ------------------------------------------------------
+
+    def _rrc_params(self, w, h, rng):
+        """RandomResizedCrop sampling: area scale U(0.08, 1), log-uniform
+        aspect in (3/4, 4/3), 10 attempts then center fallback — the
+        torchvision semantics the reference's train transform uses."""
+        area = w * h
+        for _ in range(10):
+            target = area * rng.uniform(0.08, 1.0)
+            aspect = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+            cw = int(round(np.sqrt(target * aspect)))
+            ch = int(round(np.sqrt(target / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                left = int(rng.integers(0, w - cw + 1))
+                top = int(rng.integers(0, h - ch + 1))
+                return left, top, cw, ch
+        # fallback: largest center crop within aspect bounds
+        in_ratio = w / h
+        if in_ratio < 3 / 4:
+            cw, ch = w, min(int(round(w / (3 / 4))), h)
+        elif in_ratio > 4 / 3:
+            cw, ch = min(int(round(h * (4 / 3))), w), h
+        else:
+            cw, ch = w, h
+        return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+    def _decode_train(self, path, left, top, cw, ch, flip):
+        from PIL import Image
+        im = Image.open(path).convert("RGB")
+        im = im.resize((self.size, self.size), Image.BILINEAR,
+                       box=(left, top, left + cw, top + ch))
+        a = np.asarray(im, np.uint8)
+        return a[:, ::-1] if flip else a
+
+    def _decode_eval(self, path):
+        from PIL import Image
+        size = self.size
+        resize = int(size / 0.875)
+        im = Image.open(path).convert("RGB")
+        w, h = im.size
+        scale = resize / min(w, h)
+        im = im.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+        w, h = im.size
+        left, top = (w - size) // 2, (h - size) // 2
+        im = im.crop((left, top, left + size, top + size))
+        return np.asarray(im, np.uint8)
+
+    # -- batch API (same protocol as ArrayDataset) ------------------------
+
+    def get_batch(self, idx: np.ndarray,
+                  rng: Optional[np.random.Generator]):
+        pool = self._ensure_pool()
+        aug = self.train_augment and rng is not None
+        if aug:
+            # geometry params need image sizes: draw AFTER a cheap size
+            # probe (PIL reads only the header)
+            from PIL import Image
+            jobs = []
+            for i in idx:
+                p = self.paths[i]
+                with Image.open(p) as im:
+                    w, h = im.size
+                left, top, cw, ch = self._rrc_params(w, h, rng)
+                flip = bool(rng.random() < 0.5)
+                jobs.append((p, left, top, cw, ch, flip))
+            imgs = list(pool.map(lambda j: self._decode_train(*j), jobs))
+        else:
+            imgs = list(pool.map(self._decode_eval,
+                                 [self.paths[i] for i in idx]))
+        x = np.stack(imgs).astype(np.float32) / 255.0
+        if self.mean is not None:
+            x = (x - self.mean) / self.std
+        return x, self.labels[idx]
+
+
+def scan_image_folder(split_dir: Path):
+    """ImageFolder layout scan → (paths, labels, classes)."""
+    classes = sorted(p.name for p in split_dir.iterdir() if p.is_dir())
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    paths, labels = [], []
+    for c in classes:
+        for p in sorted((split_dir / c).iterdir()):
+            paths.append(p)
+            labels.append(cls_idx[c])
+    return paths, np.asarray(labels), classes
+
+
 # ---------------------------------------------------------------------------
 # dataset readers
 # ---------------------------------------------------------------------------
@@ -348,51 +480,40 @@ def Mnist(data_dir: str = "data", batch_size: int = 128,
 def ImageNet(data_dir: str, batch_size: int = 64, shuffle: bool = True,
              training: bool = True, size: int = 224,
              n_samples: Optional[int] = None, random_sample: bool = False,
-             validation_split: float = 0.0, num_workers: int = 0,
-             synthetic_fallback: bool = True, seed: int = 0) -> DataLoader:
-    """ImageFolder reader (PIL), Resize(size/0.875)+CenterCrop eval
-    transform baked at load time.  ref: data_loaders.py:61-89.
+             validation_split: float = 0.0, num_workers: int = 8,
+             synthetic_fallback: bool = True, seed: int = 0,
+             prefetch_depth: int = 2) -> DataLoader:
+    """Streaming ImageFolder loader: per-batch JPEG decode on worker
+    threads, RandomResizedCrop+flip train transform / Resize+CenterCrop
+    eval transform, O(batch) memory — never materializes the split
+    (1.28M train images would be ~190 GB).  ref: data_loaders.py:61-89.
     """
     split_dir = Path(data_dir) / ("train" if training else "val")
     if split_dir.is_dir():
-        from PIL import Image
-        classes = sorted(p.name for p in split_dir.iterdir() if p.is_dir())
-        cls_idx = {c: i for i, c in enumerate(classes)}
-        paths, labels = [], []
-        for c in classes:
-            for p in sorted((split_dir / c).iterdir()):
-                paths.append(p)
-                labels.append(cls_idx[c])
+        paths, labels, _ = scan_image_folder(split_dir)
         paths = np.array(paths, dtype=object)
-        labels = np.asarray(labels)
         if n_samples:
             idx = (np.random.default_rng(seed).choice(
                 len(paths), n_samples, replace=False)
                 if random_sample else np.arange(n_samples))
             paths, labels = paths[idx], labels[idx]
-        resize = int(size / 0.875)
-        imgs = np.empty((len(paths), size, size, 3), np.uint8)
-        for i, p in enumerate(paths):
-            im = Image.open(p).convert("RGB")
-            w, h = im.size
-            scale = resize / min(w, h)
-            im = im.resize((round(w * scale), round(h * scale)),
-                           Image.BILINEAR)
-            w, h = im.size
-            left, top = (w - size) // 2, (h - size) // 2
-            imgs[i] = np.asarray(im.crop((left, top, left + size,
-                                          top + size)))
-        images = imgs
+        ds = ImageFolderDataset(paths, labels, size,
+                                IMAGENET_MEAN, IMAGENET_STD,
+                                train_augment=training,
+                                num_workers=num_workers or 8)
     else:
         if not synthetic_fallback:
             raise FileNotFoundError(split_dir)
         images, labels = _synthetic_classification(
             n_samples or (2048 if training else 1024), (size, size, 3),
             1000, seed)
-    ds = ArrayDataset(images, labels, IMAGENET_MEAN, IMAGENET_STD,
-                      train_augment=training)
-    return DataLoader(ds, batch_size, shuffle and training,
-                      validation_split, drop_last=training, seed=seed)
+        ds = ArrayDataset(images, labels, IMAGENET_MEAN, IMAGENET_STD,
+                          train_augment=training)
+    loader = DataLoader(ds, batch_size, shuffle and training,
+                        validation_split, drop_last=training, seed=seed)
+    if isinstance(ds, ImageFolderDataset) and prefetch_depth:
+        return loader.prefetch(prefetch_depth)
+    return loader
 
 
 def Synthetic(batch_size: int = 64, image_size: int = 224,

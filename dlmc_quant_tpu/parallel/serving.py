@@ -11,6 +11,20 @@ Multi-host: one engine per host process (`jax.distributed.initialize`
 outside), each host feeds its local request stream; the mesh spans all
 hosts so every forward is a collective — scaling is measured by
 :func:`measure_throughput` at 1-chip / n-chip meshes.
+
+Multi-host lockstep protocol (``lockstep=True``, auto when
+``jax.process_count() > 1``): a collective forward requires every host
+to dispatch the *same sequence* of steps — batching on local queue
+timing would desync hosts and deadlock the collective.  The dispatcher
+therefore steps **unconditionally** on a fixed tick: each step drains at
+most one device batch from the local queue (an empty queue pads a
+zero batch) and always runs the forward.  Host k's Nth forward pairs
+with every other host's Nth forward by construction; wall-clock skew
+only adds backpressure, never deadlock.  Shutdown is consensus-based at
+deterministic step indices: every ``consensus_every`` steps all hosts
+allgather a local ``want_stop`` flag (set by :meth:`stop` once the local
+queue is drained) and exit together when it is unanimous — so the total
+step count is identical on every host.
 """
 
 from __future__ import annotations
@@ -40,12 +54,19 @@ class InferenceEngine:
     def __init__(self, model, variables, mesh: Optional[Mesh] = None,
                  batch_size: int = 64, qmode: str = "int",
                  max_wait_ms: float = 2.0, data_axis: str = "data",
-                 model_axis: str = "model"):
+                 model_axis: str = "model", lockstep: Optional[bool] = None,
+                 tick_ms: float = 5.0, consensus_every: int = 8):
         self.model = model
         self.mesh = mesh
         self.batch_size = batch_size
         self.qmode = qmode
         self.max_wait = max_wait_ms / 1e3
+        self.lockstep = (jax.process_count() > 1 if lockstep is None
+                         else bool(lockstep))
+        self.tick = tick_ms / 1e3
+        self.consensus_every = max(int(consensus_every), 1)
+        self.steps = 0                  # lockstep: local dispatch count
+        self._image_shape = None        # set by warmup()
 
         if mesh is not None and model_axis in mesh.axis_names:
             variables = shard_params(variables, mesh, model_axis)
@@ -79,20 +100,29 @@ class InferenceEngine:
         return self._fwd(self.variables, x)[:n]
 
     def warmup(self, image_shape):
+        self._image_shape = tuple(image_shape)
         x = np.zeros((self.batch_size,) + tuple(image_shape), np.float32)
         np.asarray(self.forward(x))
 
     # -- continuous batching ----------------------------------------------
 
     def start(self):
+        if self.lockstep and self._image_shape is None:
+            raise RuntimeError(
+                "lockstep engines must warmup(image_shape) before start():"
+                " empty steps need the padded batch shape")
         self._stop.clear()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        target = self._lockstep_loop if self.lockstep else self._loop
+        self._thread = threading.Thread(target=target, daemon=True)
         self._thread.start()
 
-    def stop(self):
+    def stop(self, timeout: float = 60):
+        """Signal shutdown.  Lockstep mode keeps stepping until every
+        host's queue is drained and the stop consensus is unanimous, so
+        the step count matches across hosts."""
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=10)
+            self._thread.join(timeout=timeout)
 
     def submit(self, images: np.ndarray) -> Future:
         """Enqueue a request (K,H,W,C); future resolves to (K, classes).
@@ -165,6 +195,80 @@ class InferenceEngine:
             for f, k in zip(futs, sizes):
                 f.set_result(out[off:off + k])
                 off += k
+
+    # -- lockstep dispatcher (multi-host collective-safe) -------------------
+
+    def _collect_until(self, deadline: float):
+        """Drain up to one device batch from the local queue, never
+        blocking past ``deadline``.  Returns (arrays, futures, sizes)."""
+        batch, futs, sizes = [], [], []
+        total = 0
+        while total < self.batch_size:
+            if self._carry is not None:
+                imgs, fut = self._carry
+                self._carry = None
+            else:
+                timeout = deadline - time.perf_counter()
+                try:
+                    # behind schedule (slow forward): still drain
+                    # whatever is already queued, without blocking
+                    imgs, fut = (self._queue.get_nowait() if timeout <= 0
+                                 else self._queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            if total + len(imgs) > self.batch_size:
+                self._carry = (imgs, fut)
+                break
+            batch.append(imgs)
+            futs.append(fut)
+            sizes.append(len(imgs))
+            total += len(imgs)
+        return batch, futs, sizes
+
+    def _lockstep_loop(self):
+        """Fixed-cadence stepping: see the module docstring protocol.
+        Every host executes the same number of collective forwards."""
+        from jax.experimental import multihost_utils
+
+        next_tick = time.perf_counter()
+        while True:
+            next_tick += self.tick
+            batch, futs, sizes = self._collect_until(next_tick)
+            n = sum(sizes)
+            if n:
+                x = np.concatenate(batch)
+            else:   # empty step: the collective must still run
+                x = np.zeros((self.batch_size,) + self._image_shape,
+                             np.float32)
+            try:
+                out = np.asarray(self.forward(x))
+                err = None
+            except Exception as e:   # noqa: BLE001 — surfaced via futures
+                out, err = None, e
+            self.steps += 1
+            self.stats["batches"] += 1
+            self.stats["images"] += n
+            self.stats["pad_waste"] += self.batch_size - n
+            off = 0
+            for f, k in zip(futs, sizes):
+                if err is None:
+                    f.set_result(out[off:off + k])
+                else:
+                    f.set_exception(err)
+                off += k
+            # consensus shutdown at deterministic step indices
+            if self.steps % self.consensus_every == 0:
+                want = (self._stop.is_set() and self._queue.empty()
+                        and self._carry is None)
+                votes = multihost_utils.process_allgather(
+                    np.asarray([want]))
+                if bool(np.all(votes)):
+                    return
+            now = time.perf_counter()
+            if next_tick > now:
+                time.sleep(next_tick - now)
+            else:       # cadence slipped (slow step): don't accumulate lag
+                next_tick = now
 
 
 def measure_throughput(engine: InferenceEngine, image_shape,

@@ -158,3 +158,41 @@ class TestServing:
         assert all(o.shape == (2, 10) for o in mix)
         direct = np.asarray(eng.forward(np.asarray(x[:8])))
         np.testing.assert_allclose(big[:8], direct, rtol=1e-4, atol=1e-5)
+
+    def test_lockstep_unequal_streams_no_deadlock(self):
+        """Lockstep protocol: two engines over the shared 8-device mesh
+        fed *unequal* request streams both step unconditionally (empty
+        steps padded), resolve every future, and exit at a consensus
+        step index — the invariant that keeps multi-host collective
+        forwards paired (serving.py module docstring)."""
+        m = get_model("cifar_resnet20", num_classes=10)
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(0),
+                                          (12, 32, 32, 3)))
+        v = m.init(jax.random.PRNGKey(1), x)
+        mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        engines = [InferenceEngine(m, v, mesh, batch_size=4, qmode="fp",
+                                   lockstep=True, tick_ms=5,
+                                   consensus_every=4)
+                   for _ in range(2)]
+        for e in engines:
+            e.warmup((32, 32, 3))
+            e.start()
+        try:
+            # engine 0 gets a heavy stream, engine 1 a single request
+            futs0 = [engines[0].submit(np.asarray(x[i:i + 3]))
+                     for i in range(0, 9, 3)]
+            futs1 = [engines[1].submit(np.asarray(x[:2]))]
+            outs0 = [f.result(timeout=120) for f in futs0]
+            outs1 = [f.result(timeout=120) for f in futs1]
+        finally:
+            for e in engines:
+                e.stop()
+        assert all(o.shape == (3, 10) for o in outs0)
+        assert outs1[0].shape == (2, 10)
+        for e in engines:
+            # consensus exit only happens at multiples of consensus_every
+            assert e.steps % e.consensus_every == 0 and e.steps > 0
+        # the light engine padded empty steps rather than blocking
+        assert engines[1].stats["pad_waste"] > 0
+        direct = np.asarray(engines[0].forward(np.asarray(x[:3])))
+        np.testing.assert_allclose(outs0[0], direct, rtol=1e-4, atol=1e-5)
