@@ -31,11 +31,13 @@ quantizers, per-tensor or per-output-channel symmetric weights.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Opt-in: route 3×3/stride-1/group-1 layers through the Pallas
 # implicit-GEMM int8 conv (ops/pallas/qconv.py).  Measured on the v5e
@@ -130,6 +132,46 @@ def int8_pad_value(s_x, o_x, qmin: int, qmax: int):
             - act_shift(qmax)).astype(jnp.int8)
 
 
+_INT4_NATIVE: Any = None
+
+
+def int4_native_supported() -> bool:
+    """True when the backend stores ``jnp.int4`` arrays and contracts
+    them in a mixed s8×s4 dot.  XLA:TPU packs S4 two-per-byte in HBM, so
+    W4 weight traffic halves vs int8 *without* an unpack pass — the true
+    int4 execution path (VERDICT r2 #6).  Falls back to nibble packing
+    (:func:`pack_int4`) where unsupported.
+
+    The probe must run outside any jit trace (executing a nested jit
+    while tracing fails); :func:`prepare_deploy` primes it eagerly.
+    Called mid-trace before priming, it conservatively reports False
+    without caching.
+    """
+    global _INT4_NATIVE
+    if os.environ.get("DLMCQ_NATIVE_INT4", "1") != "1":
+        return False
+    if _INT4_NATIVE is None:
+        from jax._src import core as _core    # public alias removed in 0.9
+        if not _core.trace_state_clean():
+            return False                       # mid-trace: don't cache
+        try:
+            x = jnp.ones((32, 32), jnp.int8)
+            w = jnp.ones((32, 32), jnp.int4)
+            y = jax.jit(lambda a, b: jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32))(x, w)
+            _INT4_NATIVE = int(np.asarray(y)[0, 0]) == 32
+        except Exception:       # noqa: BLE001 — capability probe
+            _INT4_NATIVE = False
+    return _INT4_NATIVE
+
+
+def reset_int4_probe():
+    """Drop the cached capability result (tests / env-flag changes)."""
+    global _INT4_NATIVE
+    _INT4_NATIVE = None
+
+
 def pack_int4(w_int: jnp.ndarray) -> jnp.ndarray:
     """Pack int8 values in [-8, 7] two-per-byte along axis 0 (uint8).
 
@@ -159,6 +201,7 @@ def unpack_int4(packed: jnp.ndarray, orig_dim0: int) -> jnp.ndarray:
 
 def prepare_deploy(model, variables, **apply_kw):
     """Run the deploy_prep pass; returns variables + 'qint' collection."""
+    int4_native_supported()     # prime the capability probe untraced
     sample = apply_kw.pop("sample_input")
     prep_fn = jax.jit(lambda v, x: model.apply(
         v, x, qmode="deploy_prep", mutable=["qint", "qstate"],

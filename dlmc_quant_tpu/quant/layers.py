@@ -467,7 +467,12 @@ class _IntOps:
                 "nothing to deploy")
 
         plan = {"w_scale": s_w.astype(jnp.float32)}
-        if wq.n_bits <= 4:
+        if wq.n_bits <= 4 and dp.int4_native_supported():
+            # native S4 dtype: XLA packs two-per-byte in device memory
+            # and contracts directly (mixed s8xs4 dot) — halves weight
+            # HBM traffic with no unpack pass
+            plan["w_i4"] = w_int.astype(jnp.int4)
+        elif wq.n_bits <= 4:
             # two-nibbles-per-byte packing halves weight memory; unpacked
             # on the fly at forward (cheap vs activation traffic)
             plan["w_int4"] = dp.pack_int4(w_int)
@@ -503,13 +508,19 @@ class _IntOps:
             self.variable("qint", name, lambda v=val: v).value = val
 
     def _load_plan(self):
-        names = ("w_int", "w_int4", "w_scale", "in_scale", "in_inv_scale",
-                 "in_qbias", "in_offset", "pad_val", "bias_eff")
+        names = ("w_int", "w_int4", "w_i4", "w_scale", "in_scale",
+                 "in_inv_scale", "in_qbias", "in_offset", "pad_val",
+                 "bias_eff")
         return {n: self.get_variable("qint", n) for n in names
                 if self.has_variable("qint", n)}
 
     def _plan_weights(self, plan, kernel_shape):
+        """Integer kernel from the plan.  May return an int4-dtype array
+        (native path): QDense contracts it directly; convs upcast at
+        trace time (XLA fuses the convert, HBM storage stays S4)."""
         from dlmc_quant_tpu.quant import deploy as dp
+        if "w_i4" in plan:
+            return plan["w_i4"]
         if "w_int4" in plan:
             return dp.unpack_int4(plan["w_int4"], kernel_shape[0])
         return plan["w_int"]
@@ -646,6 +657,10 @@ class QConv(nn.Module, _QuantOps, _IntOps):
                                  aqmin, aqmax,
                                  inv_s_x=plan.get("in_inv_scale"),
                                  qbias=plan.get("in_qbias"))
+        if w_int.dtype == jnp.int4:
+            # conv lowering wants int8 taps; the convert fuses into the
+            # conv's weight load while HBM storage stays packed S4
+            w_int = w_int.astype(jnp.int8)
         pads = self._spatial_pads(x)
         (plo, phi), (qlo, qhi) = pads
         if (dp.USE_PALLAS_CONV and self.kernel_size == (3, 3)

@@ -165,13 +165,17 @@ class TestInt4Packing:
         np.testing.assert_array_equal(np.asarray(unpack_int4(p, 9)),
                                       np.asarray(w))
 
-    def test_w4_weight_only_uses_packed(self):
+    def test_w4_weight_only_uses_halved_storage(self):
+        from dlmc_quant_tpu.quant.deploy import int4_native_supported
         m = QConv(features=8, scheme=scheme(w_bits=4, a_enable=False))
         x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4))
         v = _setup(m, x)
-        assert "w_int4" in v["qint"] and "w_int" not in v["qint"]
-        # packed int4 halves dim0 (kernel H=3 → 2 bytes)
-        assert v["qint"]["w_int4"].shape[0] == 2
+        assert "w_int" not in v["qint"]
+        if int4_native_supported():
+            assert v["qint"]["w_i4"].dtype == jnp.int4
+        else:
+            # packed int4 halves dim0 (kernel H=3 → 2 bytes)
+            assert v["qint"]["w_int4"].shape[0] == 2
         y_int = m.apply(v, x, qmode="int")
         y_fq = m.apply(v, x, qmode="eval")
         assert _rel(y_int, y_fq) < 3e-2
@@ -183,6 +187,44 @@ class TestInt4Packing:
         v = _setup(m, x)
         assert _rel(m.apply(v, x, qmode="int"),
                     m.apply(v, x, qmode="eval")) < 3e-2
+
+
+class TestInt4:
+    """True int4 execution (VERDICT r2 #6): weights stored as native S4
+    dtype (XLA packs two-per-byte in device memory) and contracted
+    directly by QDense's mixed s8×s4 dot."""
+
+    def test_native_int4_dense_contraction(self):
+        from dlmc_quant_tpu.quant.deploy import int4_native_supported
+        if not int4_native_supported():
+            pytest.skip("backend lacks native int4 dot")
+        m = QDense(features=16, scheme=scheme(w_bits=4, a_bits=8))
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(7), (4, 32)))
+        v = _setup(m, x)
+        assert v["qint"]["w_i4"].dtype == jnp.int4
+        y_int = jax.jit(lambda v, x: m.apply(v, x, qmode="int"))(v, x)
+        assert _rel(y_int, m.apply(v, x, qmode="eval")) < 3e-2
+
+    def test_native_matches_packed_fallback(self, monkeypatch):
+        """Native S4 and nibble-packed paths produce identical ints."""
+        from dlmc_quant_tpu.quant import deploy as dp
+        if not dp.int4_native_supported():
+            pytest.skip("backend lacks native int4 dot")
+        m = QConv(features=8, scheme=scheme(w_bits=4, a_bits=8))
+        x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(8),
+                                          (2, 8, 8, 4)))
+        v_nat = _setup(m, x)
+        monkeypatch.setenv("DLMCQ_NATIVE_INT4", "0")
+        try:
+            v_pk = _setup(m, x)
+            assert "w_int4" in v_pk["qint"] and "w_i4" not in v_pk["qint"]
+            y_pk = m.apply(v_pk, x, qmode="int")
+        finally:
+            monkeypatch.delenv("DLMCQ_NATIVE_INT4", raising=False)
+            dp.reset_int4_probe()
+        y_nat = m.apply(v_nat, x, qmode="int")
+        np.testing.assert_allclose(np.asarray(y_nat), np.asarray(y_pk),
+                                   rtol=0, atol=1e-5)
 
 
 class TestS2DStem:

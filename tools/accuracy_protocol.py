@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""End-to-end accuracy protocol: fp32 train → PTQ → top-1 deltas.
+
+Produces the north-star accuracy evidence (BASELINE.json: top-1 Δ ≤ 0.5%
+at W8A8/W4A8 via the RepAPQ/FSPTQ path, mirroring the reference's
+fsptq_trainer validation — ref: trainer/fsptq_trainer.py:104-132):
+
+  1. train cifar_resnet20 fp32 from scratch,
+  2. PTQ to W8A8 (per-channel weights, minmax activations) + FSPTQ
+     block reconstruction,
+  3. PTQ to W4A8 the same way,
+  4. evaluate all three on the held-out split, append RESULTS.md.
+
+Dataset: real CIFAR-10 when the standard python-pickle batches exist
+under ``--data-dir`` (data/cifar-10-batches-py); otherwise the
+class-structured synthetic fallback (this container is zero-egress — no
+dataset or pretrained checkpoint can be fetched), which exercises the
+identical pipeline at the same shapes.  RESULTS.md records which one ran.
+
+Usage:  python tools/accuracy_protocol.py [--epochs 30] [--data-dir data]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import dataclasses  # noqa: E402
+
+import flax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from dlmc_quant_tpu.data.loaders import CIFAR10  # noqa: E402
+from dlmc_quant_tpu.models import get_model  # noqa: E402
+from dlmc_quant_tpu.quant.config import scheme_from_dict  # noqa: E402
+from dlmc_quant_tpu.quant.deploy import prepare_deploy  # noqa: E402
+from dlmc_quant_tpu.quant.layers import calibrate  # noqa: E402
+from dlmc_quant_tpu.training.fsptq import FSPTQTrainer  # noqa: E402
+from dlmc_quant_tpu.training.ptq import evaluate  # noqa: E402
+from dlmc_quant_tpu.training.losses import get_loss  # noqa: E402
+from dlmc_quant_tpu.training.metrics import get_metric  # noqa: E402
+from dlmc_quant_tpu.training.schedulers import CosineDecayLR  # noqa: E402
+from dlmc_quant_tpu.training.trainer import Trainer  # noqa: E402
+
+
+def w_scheme(bits: int):
+    return scheme_from_dict({
+        "quantization_type": "FSPTQ",
+        "weight": {"enable": True, "type": "minmax_channel",
+                   "args": {"n_bits": bits, "signed": True}},
+        "input": {"enable": True, "type": "minmax_tensor",
+                  "args": {"n_bits": 8, "signed": False}},
+        # first conv + head stay 8-bit even at W4 (standard practice,
+        # also what the reference's override grammar is for)
+        "override_options": [
+            {"layers": ["conv1$", "linear$"],
+             "options": {"weight": {"args": {"n_bits": 8}}}},
+        ] if bits < 8 else [],
+    })
+
+
+def ptq(model, fp_vars, cal_batches, eval_loader, bits, loss_fn, metrics,
+        recon_iters):
+    qmodel = dataclasses.replace(model, scheme=w_scheme(bits))
+    qvars = flax.core.unfreeze(jax.jit(qmodel.init)(
+        jax.random.PRNGKey(0), cal_batches[0]))
+    flatq = flax.traverse_util.flatten_dict(qvars["params"])
+    for k, v in flax.traverse_util.flatten_dict(fp_vars["params"]).items():
+        flatq[k] = v
+    qvars["params"] = flax.traverse_util.unflatten_dict(flatq)
+    for col in ("batch_stats",):
+        if col in fp_vars:
+            qvars[col] = fp_vars[col]
+    qvars = calibrate(qmodel, qvars, cal_batches,
+                      observe_passes=len(cal_batches))
+    tr = FSPTQTrainer(qmodel, qvars, model, fp_vars, cal_batches,
+                      iters=recon_iters, disable_first_act_quant=True)
+    out = tr.train()
+    qvars = out["variables"]
+    qmodel = tr.model
+    m = evaluate(qmodel, qvars, eval_loader, loss_fn, metrics,
+                 qmode="eval")
+    return m, qmodel, qvars
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--recon-iters", type=int, default=800)
+    ap.add_argument("--out", default="RESULTS.md")
+    args = ap.parse_args()
+
+    real = (Path(args.data_dir) / "cifar-10-batches-py").is_dir()
+    train_l = CIFAR10(args.data_dir, batch_size=args.batch, training=True)
+    eval_l = CIFAR10(args.data_dir, batch_size=args.batch, training=False)
+
+    model = get_model("cifar_resnet20", num_classes=10)
+    x0 = jnp.asarray(next(iter(train_l))[0])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+
+    steps = len(train_l) * args.epochs
+    sched = CosineDecayLR(0.1, total_steps=steps, warmup_steps=len(train_l))
+    tx = optax.chain(optax.add_decayed_weights(1e-4),
+                     optax.sgd(sched, momentum=0.9))
+    trainer = Trainer(model, variables, tx, sched, train_l, eval_l,
+                      config={"epochs": args.epochs,
+                              "monitor": "max val_accuracy"},
+                      loss="cross_entropy", metrics=("accuracy",))
+    t0 = time.time()
+    trainer.train()
+    train_time = time.time() - t0
+    fp_vars = flax.core.unfreeze(trainer.state.variables())
+
+    loss_fn = get_loss("cross_entropy")
+    metrics = {"accuracy": get_metric("accuracy")}
+    fp_m = evaluate(model, fp_vars, eval_l, loss_fn, metrics, qmode="fp")
+
+    cal_batches = []
+    n = 0
+    for x, _ in train_l:
+        cal_batches.append(jnp.asarray(x))
+        n += len(x)
+        if n >= 1024:
+            break
+
+    m8, _, _ = ptq(model, fp_vars, cal_batches, eval_l, 8, loss_fn,
+                   metrics, args.recon_iters)
+    m4, _, _ = ptq(model, fp_vars, cal_batches, eval_l, 4, loss_fn,
+                   metrics, args.recon_iters)
+
+    fp_acc = fp_m["accuracy"] * 100
+    a8, a4 = m8["accuracy"] * 100, m4["accuracy"] * 100
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    lines = f"""
+## cifar_resnet20 — fp32 vs RepAPQ/FSPTQ PTQ ({stamp})
+
+Dataset: {"real CIFAR-10" if real else
+          "synthetic CIFAR-10-shaped fallback (zero-egress container: no"
+          " real dataset or pretrained checkpoint is fetchable; identical"
+          " pipeline, shapes and protocol — mount"
+          " data/cifar-10-batches-py and rerun for real-data numbers)"}.
+Backend: {jax.default_backend()} ({jax.devices()[0].device_kind}).
+Protocol: {args.epochs}-epoch fp32 train (SGD+momentum, cosine decay,
+1-epoch warmup, wd 1e-4, {train_time:.0f}s) → 1024-image calibration →
+FSPTQ block reconstruction ({args.recon_iters} iters/block,
+first-conv act quant off) → top-1 on the held-out split.
+Config: W8A8 = per-channel minmax weights + per-tensor unsigned minmax
+activations; W4A8 = same with 4-bit weights (first conv + head kept 8-bit).
+
+| model | top-1 % | Δ vs fp32 |
+|---|---|---|
+| fp32 | {fp_acc:.2f} | — |
+| W8A8 FSPTQ | {a8:.2f} | {a8 - fp_acc:+.2f} |
+| W4A8 FSPTQ | {a4:.2f} | {a4 - fp_acc:+.2f} |
+
+North-star criterion: W8A8 Δ ≥ -0.50 → {"**met**" if a8 - fp_acc >= -0.5
+                                         else "**not met**"}.
+"""
+    out = Path(args.out)
+    header = "# RESULTS — measured accuracy evidence\n"
+    prev = out.read_text() if out.exists() else header
+    out.write_text(prev + lines)
+    print(lines)
+    print(f"appended to {out}")
+
+
+if __name__ == "__main__":
+    main()
