@@ -1,11 +1,22 @@
 """Row-major dx-grouped fused int8 3x3 stride-1 convolution.
 
-Successor to cmconv.py.  Measurement on the v5e chip showed the MXU
-starves whenever either GEMM output dim is small: cmconv's GEMM put the
-o=192 output channels on the M dim and sustained only ~75 TOP/s even
-with patch-build and epilogue removed (tools/ablate_cmconv.py), while
->=512-square tiles reach ~270 TOP/s (tools/pallas_gemm_sweep.py).  This
-kernel restructures the conv so BOTH GEMM output dims are large:
+Successor to the channel-major cmconv kernel (removed; see git
+history).  Measurement on the v5e chip showed the MXU starves whenever
+either GEMM output dim is small: cmconv's GEMM put the o=192 output
+channels on the M dim and sustained only ~75 TOP/s even with
+patch-build and epilogue removed, while >=512-square tiles reach
+~270 TOP/s (tools/pallas_gemm_sweep.py).  This kernel restructures the
+conv so BOTH GEMM output dims are large.
+
+Status (fence-corrected timing, tools/layerbench.py): exact everywhere,
+138–145 TOP/s on RepVGG stage-3 shapes — the best Pallas conv built in
+this repo, but still 0.74x XLA's chained int8 conv (186–327 TOP/s), so
+the deploy path keeps XLA as its engine and this kernel stands as the
+measured reference point.  Its remaining gap is VPU-bound: the
+recombination adds + f32 epilogue on (bm, 3·O) int32 tiles cost ~2x the
+GEMM itself at these sizes.
+
+Design:
 
 * Activations are **row-major shared-pad**: ``x_rm`` is ``(M, SW)`` int8
   with channels on lanes (zero-padded to ``SW = roundup(C, 128)``) and

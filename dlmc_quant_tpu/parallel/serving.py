@@ -77,8 +77,13 @@ class InferenceEngine:
             self._in_sharding = None
         self.variables = variables
 
+        # Weight-resident dispatch: variables are serving-time constants,
+        # so they are captured in the jitted program rather than passed
+        # per call — per-call pytree marshalling costs ~7 ms on the axon
+        # tunnel (see quant/deploy.py:make_serving_fn).
+        captured = self.variables
         self._fwd = jax.jit(
-            lambda v, x: self.model.apply(v, x, qmode=self.qmode))
+            lambda x: self.model.apply(captured, x, qmode=self.qmode))
         self._queue: "queue.Queue" = queue.Queue()
         self._carry = None          # request deferred to the next batch
         self._stop = threading.Event()
@@ -97,7 +102,7 @@ class InferenceEngine:
         x = jnp.asarray(x)
         if self._in_sharding is not None:
             x = jax.device_put(x, self._in_sharding)
-        return self._fwd(self.variables, x)[:n]
+        return self._fwd(x)[:n]
 
     def warmup(self, image_shape):
         self._image_shape = tuple(image_shape)

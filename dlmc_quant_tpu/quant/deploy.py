@@ -39,17 +39,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Opt-in: route 3×3/stride-1/group-1 layers through the Pallas
-# implicit-GEMM int8 conv (ops/pallas/qconv.py).  Measured on the v5e
-# chip (tools/layerbench.py) that kernel sustains only 5.8–15 TOP/s vs
-# ~112 TOP/s for XLA's int8 conv lowering, so the default is XLA; the
-# flag remains for A/B benchmarking of kernel work.
-USE_PALLAS_CONV = os.environ.get("DLMCQ_PALLAS_CONV", "0") == "1"
+# Engine choice, measured on the v5e chip with fence-corrected timing
+# (tools/layerbench.py; the axon tunnel's scalar-fetch fence costs
+# ~25 ms, which silently inflated every early low-iteration-count
+# measurement — earlier notes claiming XLA int8 convs run at ~112 TOP/s
+# were artifacts of that):
+#
+# * XLA's int8 conv lowering sustains 186–327 TOP/s on RepVGG stage
+#   shapes in chained int8→int8 form (pad+quantize fused into the
+#   producing epilogue), so XLA IS the deploy contraction engine.
+# * The best Pallas kernel built here (ops/pallas/rpconv.py, row-major
+#   dx-grouped, fused requant epilogue) reaches 138–145 TOP/s on the
+#   same shapes — exact but 0.74× XLA; kept as a tested, documented
+#   reference point, not wired into the hot path.  Two earlier kernels
+#   (implicit-GEMM qconv, channel-major cmconv) measured further behind
+#   and were removed (see git history).
+#
+# Whole-model consequence: deploy-form RepVGG-A0 int8 runs ~72k img/s
+# per chip at batch 512 vs ~40k fp32 (1.8×) with weight-resident
+# dispatch (make_serving_fn below).
 
 # Opt-in: rewrite 3x3/s2 small-channel stems as space-to-depth 2x2/s1
 # convs (see layers._s2d_conv).  Exact, but measured slightly slower on
-# the v5e chip (tools/mirror_morph.py) — the int8 input relayout costs
-# more than the fatter MXU contraction saves.
+# the v5e chip — the int8 input relayout costs more than the fatter MXU
+# contraction saves (re-confirmed with fence-corrected timing: 2.42 ms
+# vs 1.98 ms for the batch-512 quantize+stem).
 USE_S2D_STEM = os.environ.get("DLMCQ_S2D_STEM", "0") == "1"
 
 
@@ -208,3 +222,28 @@ def prepare_deploy(model, variables, **apply_kw):
         **apply_kw)[1])
     upd = prep_fn(variables, sample)
     return {**variables, "qint": upd["qint"]}
+
+
+def make_serving_fn(model, variables, qmode: str = "int", **apply_kw):
+    """Weight-resident jitted forward: ``fn(x) -> logits``.
+
+    At serving time the variables are constants, so they belong *inside*
+    the jitted program, not in the per-call argument list.  Passing the
+    full variables pytree (~400 leaves / ~36 MB for RepVGG-A0) as an
+    argument on every dispatch costs ~7 ms of host-side marshalling per
+    call on the axon TPU tunnel — measured 48.3k img/s arg-passed vs
+    72.0k img/s captured for the identical compiled program (the HLO is
+    byte-for-byte the same; only the dispatch path differs).  Capturing
+    folds the weights into the executable once at compile time.
+
+    The reference never needs this because torch modules always own
+    their (device-resident) parameters; in jax the functional calling
+    convention makes weight residency an explicit serving-time choice.
+
+    Pass activations (the ``x`` argument) normally — baking a
+    batch-sized array into the program blows up the remote-compile
+    request (HTTP 413 on the tunnel above ~100 MB of constants).
+    """
+    variables = jax.device_put(variables)
+    return jax.jit(lambda x: model.apply(variables, x, qmode=qmode,
+                                         **apply_kw))

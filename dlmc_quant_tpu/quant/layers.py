@@ -663,18 +663,6 @@ class QConv(nn.Module, _QuantOps, _IntOps):
             w_int = w_int.astype(jnp.int8)
         pads = self._spatial_pads(x)
         (plo, phi), (qlo, qhi) = pads
-        if (dp.USE_PALLAS_CONV and self.kernel_size == (3, 3)
-                and self.strides == (1, 1)
-                and self.feature_group_count == 1
-                and pads == ((1, 1), (1, 1))
-                and jax.default_backend() != "cpu"):
-            from dlmc_quant_tpu.ops.pallas.qconv import int8_conv3x3
-            x_p = jnp.pad(x_i8, ((0, 0), (plo, phi), (qlo, qhi), (0, 0)),
-                          constant_values=plan["pad_val"])
-            scale_vec = jnp.broadcast_to(
-                (plan["in_scale"] * plan["w_scale"]).reshape(-1),
-                (w_int.shape[-1],))
-            return int8_conv3x3(x_p, w_int, scale_vec, plan["bias_eff"])
         if (dp.USE_S2D_STEM
                 and self.kernel_size == (3, 3) and self.strides == (2, 2)
                 and self.feature_group_count == 1

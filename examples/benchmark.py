@@ -74,13 +74,14 @@ def bench_model(name: str, batch_size: int, image_size: int, mode: str,
         float(loss)
         dt = time.perf_counter() - t0
     else:
-        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        # weight-resident dispatch: see quant/deploy.py:make_serving_fn
+        fwd = jax.jit(lambda x: model.apply(variables, x))
         for _ in range(warmup):
-            out = fwd(variables, x)
+            out = fwd(x)
         float(jnp.sum(out))
         t0 = time.perf_counter()
         for _ in range(steps):
-            out = fwd(variables, x)
+            out = fwd(x)
         float(jnp.sum(out))
         dt = time.perf_counter() - t0
     return batch_size * steps / dt
