@@ -96,7 +96,18 @@ def _bench_model(name: str, batch: int, **model_kw):
     variables = calibrate(model, variables, [xc])
     variables = prepare_deploy(model, variables, sample_input=xc)
 
-    int8_fn = make_serving_fn(model, variables, qmode="int")
+    # int8: fastest of plain 'int' and the chained int8-resident 'intc'
+    # (folded relu+requant boundaries, quant/chain.py); both are exact
+    # deploy paths, 'intc' saves ~1/3 of the VPU epilogue ops
+    int_fns = []
+    for qm in ("intc", "int"):
+        try:
+            fn = make_serving_fn(model, variables, qmode=qm)
+            float(jnp.sum(fn(x)))
+            int_fns.append(fn)
+        except Exception:          # model without intc support
+            pass
+    int8_fn = max(int_fns, key=lambda f: _one_round(f, x, 8))
     # fp32 baseline: fastest of the two dispatch forms (see module doc)
     fp_cap = make_serving_fn(model, variables, qmode="fp")
     fp_arg_ = jax.jit(lambda v, x: model.apply(v, x, qmode="fp"))

@@ -24,6 +24,7 @@ from dlmc_quant_tpu.models.fuse import (
 )
 from dlmc_quant_tpu.models.registry import register
 from dlmc_quant_tpu.quant.config import QuantScheme
+from dlmc_quant_tpu.quant.chain import materialize, qrelu
 from dlmc_quant_tpu.quant.layers import QConv, QDense
 
 
@@ -51,11 +52,14 @@ class MobileOneBlock(nn.Module):
     def __call__(self, x, train: bool = False, qmode: str = "eval"):
         k = self.kernel_size
         pad = [(k // 2, k // 2)] * 2
+        if not self.deploy and qmode == "intc":
+            qmode = "int"   # chaining needs the fused single-conv form
         if self.deploy:
             out = QConv(self.features, (k, k), self.strides, padding=pad,
                         feature_group_count=self.groups, use_bias=True,
                         name="reparam", scheme=self.scheme)(x, qmode=qmode)
-            return nn.relu(out)
+            # lazy on a chained (intc) deferred epilogue — see quant/chain.py
+            return qrelu(out)
         out = 0.0
         for b in range(self.num_conv_branches):
             y = QConv(self.features, (k, k), self.strides, padding=pad,
@@ -105,9 +109,9 @@ class MobileOne(nn.Module):
                     num_conv_branches=self.num_conv_branches,
                     deploy=self.deploy, name=f"stage{si}_{bi}_pw",
                     scheme=self.scheme)(x, train=train, qmode=qmode)
-        x = jnp.mean(x, axis=(1, 2))
-        return QDense(self.num_classes, name="linear",
-                      scheme=self.scheme)(x, qmode=qmode)
+        x = jnp.mean(materialize(x), axis=(1, 2))
+        return materialize(QDense(self.num_classes, name="linear",
+                                  scheme=self.scheme)(x, qmode=qmode))
 
 
 def fuse_mobileone_block(block_params, block_stats, in_features: int,

@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from dlmc_quant_tpu.models.registry import register
+from dlmc_quant_tpu.quant.chain import materialize, qrelu
 from dlmc_quant_tpu.quant.config import QuantScheme
 from dlmc_quant_tpu.quant.layers import QConv, QDense
 
@@ -38,6 +39,9 @@ class SEBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, qmode: str = "eval"):
+        from dlmc_quant_tpu.quant.chain import materialize
+        x = materialize(x)          # SE gating needs concrete values
+        qmode = "int" if qmode == "intc" else qmode
         s = jnp.mean(x, axis=(1, 2))                    # (N, C)
         s = QDense(self.channels // self.ratio, name="down",
                    scheme=self.scheme)(s, qmode=qmode)
@@ -62,6 +66,8 @@ class RepVGGBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, qmode: str = "eval"):
+        if not self.deploy and qmode == "intc":
+            qmode = "int"       # chaining needs the fused single-conv form
         if self.deploy:
             out = QConv(self.features, (3, 3), self.strides, padding=[(1, 1), (1, 1)],
                         feature_group_count=self.groups, use_bias=True,
@@ -85,7 +91,9 @@ class RepVGGBlock(nn.Module):
         if self.use_se:
             out = SEBlock(self.features, name="se",
                           scheme=self.scheme)(out, qmode=qmode)
-        return nn.relu(out)
+        # qrelu stays lazy on a chained (qmode='intc') deferred epilogue
+        # so the consumer layer can fold ReLU+quantize into one clamp
+        return qrelu(out)
 
 
 class RepVGG(nn.Module):
@@ -120,9 +128,9 @@ class RepVGG(nn.Module):
                     deploy=self.deploy, name=f"stage{si}_{bi}",
                     scheme=self.scheme)(x, train=train, qmode=qmode)
                 layer_idx += 1
-        x = jnp.mean(x, axis=(1, 2))
-        return QDense(self.num_classes, name="linear",
-                      scheme=self.scheme)(x, qmode=qmode)
+        x = jnp.mean(materialize(x), axis=(1, 2))
+        return materialize(QDense(self.num_classes, name="linear",
+                                  scheme=self.scheme)(x, qmode=qmode))
 
 
 def _factory(name, num_blocks, widths, gmap=None, use_se=False):

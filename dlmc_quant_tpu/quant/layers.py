@@ -608,11 +608,12 @@ class QConv(nn.Module, _QuantOps, _IntOps):
             # observers hand back OIHW weights; run the real op on them
             return conv(inp, jnp.transpose(w_oi, (2, 3, 1, 0)))
 
-        if qmode in ("deploy_prep", "int"):
+        if qmode in ("deploy_prep", "int", "intc"):
             cfg = self._resolve_cfg()
             if cfg is not None and cfg.weight.enable:
                 return self._int_conv(x, kernel, bias, cfg, qmode, conv)
-            return conv(x, kernel)
+            from dlmc_quant_tpu.quant.chain import materialize
+            return conv(materialize(x), kernel)
 
         x_q, w_q = self._quantize(x, kernel, qmode, forward_oi)
         return conv(x_q, w_q)
@@ -635,6 +636,7 @@ class QConv(nn.Module, _QuantOps, _IntOps):
 
     def _int_conv(self, x, kernel, bias, cfg, qmode: str, conv):
         from dlmc_quant_tpu.quant import deploy as dp
+        from dlmc_quant_tpu.quant import chain as qchain
 
         if qmode == "deploy_prep":
             plan = self._build_int_plan(
@@ -647,16 +649,25 @@ class QConv(nn.Module, _QuantOps, _IntOps):
         w_int = self._plan_weights(plan, kernel.shape)
         if "in_scale" not in plan:
             # weight-only quantization: dequantize to bf16, MXU bf16 conv
+            x = qchain.materialize(x)
             s_b = _wt_bshape(cfg.weight, plan["w_scale"], kernel.ndim)
             w_deq = (w_int.astype(jnp.bfloat16)
                      * s_b.astype(jnp.bfloat16))
             return conv(x.astype(jnp.bfloat16), w_deq).astype(jnp.float32)
 
         aqmin, aqmax = self._act_qrange(cfg)
-        x_i8, _ = dp.act_to_int8(x, plan["in_scale"], plan["in_offset"],
-                                 aqmin, aqmax,
-                                 inv_s_x=plan.get("in_inv_scale"),
-                                 qbias=plan.get("in_qbias"))
+        shift = dp.act_shift(aqmax)
+        if isinstance(x, qchain.DeferredEpilogue):
+            # chained boundary: fold producer epilogue + ReLU + this
+            # layer's act quantize into one FMA + clamp (see chain.py)
+            x_i8 = qchain.fold_quantize(x, plan["in_inv_scale"],
+                                        plan["in_qbias"],
+                                        aqmin - shift, aqmax - shift)
+        else:
+            x_i8, _ = dp.act_to_int8(x, plan["in_scale"],
+                                     plan["in_offset"], aqmin, aqmax,
+                                     inv_s_x=plan.get("in_inv_scale"),
+                                     qbias=plan.get("in_qbias"))
         if w_int.dtype == jnp.int4:
             # conv lowering wants int8 taps; the convert fuses into the
             # conv's weight load while HBM storage stays packed S4
@@ -687,6 +698,9 @@ class QConv(nn.Module, _QuantOps, _IntOps):
                 feature_group_count=self.feature_group_count,
                 preferred_element_type=jnp.int32)
         scale = (plan["in_scale"] * plan["w_scale"]).reshape(1, 1, 1, -1)
+        if qmode == "intc":
+            return qchain.DeferredEpilogue(
+                acc, scale, plan["bias_eff"].reshape(1, 1, 1, -1))
         return acc.astype(jnp.float32) * scale + plan["bias_eff"]
 
 
@@ -719,16 +733,18 @@ class QDense(nn.Module, _QuantOps, _IntOps):
         def forward_oi(inp, w_oi):
             return dense(inp, w_oi.T)
 
-        if qmode in ("deploy_prep", "int"):
+        if qmode in ("deploy_prep", "int", "intc"):
             cfg = self._resolve_cfg()
             if cfg is not None and cfg.weight.enable:
                 return self._int_dense(x, kernel, bias, cfg, qmode, dense)
-            return dense(x, kernel)
+            from dlmc_quant_tpu.quant.chain import materialize
+            return dense(materialize(x), kernel)
 
         x_q, w_q = self._quantize(x, kernel, qmode, forward_oi)
         return dense(x_q, w_q)
 
     def _int_dense(self, x, kernel, bias, cfg, qmode: str, dense):
+        from dlmc_quant_tpu.quant import chain as qchain
         from dlmc_quant_tpu.quant import deploy as dp
 
         if qmode == "deploy_prep":
@@ -740,17 +756,27 @@ class QDense(nn.Module, _QuantOps, _IntOps):
 
         w_int = self._plan_weights(plan, kernel.shape)
         if "in_scale" not in plan:
+            x = qchain.materialize(x)
             s_b = _wt_bshape(cfg.weight, plan["w_scale"], kernel.ndim)
             w_deq = w_int.astype(jnp.bfloat16) * s_b.astype(jnp.bfloat16)
             return dense(x.astype(jnp.bfloat16), w_deq).astype(jnp.float32)
 
         aqmin, aqmax = self._act_qrange(cfg)
-        x_i8, _ = dp.act_to_int8(x, plan["in_scale"], plan["in_offset"],
-                                 aqmin, aqmax,
-                                 inv_s_x=plan.get("in_inv_scale"),
-                                 qbias=plan.get("in_qbias"))
+        shift = dp.act_shift(aqmax)
+        if isinstance(x, qchain.DeferredEpilogue):
+            x_i8 = qchain.fold_quantize(x, plan["in_inv_scale"],
+                                        plan["in_qbias"],
+                                        aqmin - shift, aqmax - shift)
+        else:
+            x_i8, _ = dp.act_to_int8(x, plan["in_scale"],
+                                     plan["in_offset"], aqmin, aqmax,
+                                     inv_s_x=plan.get("in_inv_scale"),
+                                     qbias=plan.get("in_qbias"))
         acc = jnp.dot(x_i8, w_int, preferred_element_type=jnp.int32)
         scale = plan["in_scale"] * plan["w_scale"]
+        if qmode == "intc":
+            return qchain.DeferredEpilogue(acc, jnp.reshape(scale, (1, -1)),
+                                           plan["bias_eff"].reshape(1, -1))
         return acc.astype(jnp.float32) * scale + plan["bias_eff"]
 
 

@@ -1,0 +1,100 @@
+"""Chained int8-resident deploy mode (qmode='intc', quant/chain.py).
+
+The fold must reproduce the 2-step boundary (f32 epilogue + ReLU +
+act_to_int8) exactly when float arithmetic is exact (power-of-two
+affines), and stay within quantization noise on arbitrary scales.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlmc_quant_tpu.models import get_model
+from dlmc_quant_tpu.quant.chain import (DeferredEpilogue, fold_quantize,
+                                        materialize, qrelu)
+from dlmc_quant_tpu.quant.config import scheme_from_dict
+from dlmc_quant_tpu.quant.deploy import act_to_int8, prepare_deploy
+from dlmc_quant_tpu.quant.layers import calibrate
+
+
+def _scheme():
+    return scheme_from_dict({
+        "quantization_type": "FSPTQ",
+        "weight": {"enable": True, "type": "minmax_channel",
+                   "args": {"n_bits": 8, "signed": True}},
+        "input": {"enable": True, "type": "minmax_tensor",
+                  "args": {"n_bits": 8, "signed": False}},
+    })
+
+
+class TestFoldQuantize:
+    def test_exact_vs_two_step_pow2(self):
+        """Power-of-2 affines make f32 exact: fold == epilogue+relu+quant
+        bit-for-bit (including the ReLU-into-clamp lower bound)."""
+        key = jax.random.PRNGKey(0)
+        acc = jax.random.randint(key, (64, 32), -(2 ** 20), 2 ** 20,
+                                 jnp.int32)
+        ps = jnp.full((1, 32), 2.0 ** -12)
+        pb = jnp.arange(32, dtype=jnp.float32).reshape(1, 32) * 0.25 - 4.0
+        s_x, o_x = jnp.float32(2.0 ** -4), jnp.float32(-2.0)
+        inv_s, qb = 1.0 / s_x, -o_x / s_x - 128.0
+
+        for relu in (True, False):
+            d = DeferredEpilogue(acc, ps, pb, relu=relu)
+            got = fold_quantize(d, inv_s, qb, -128, 127)
+            y = acc.astype(jnp.float32) * ps + pb
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            want, _ = act_to_int8(y, s_x, o_x, 0, 255,
+                                  inv_s_x=inv_s, qbias=qb)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_relu_lower_bound_is_zero_code(self):
+        """Everything negative lands on the consumer's code for real 0."""
+        acc = jnp.full((4, 8), -(2 ** 18), jnp.int32)
+        d = DeferredEpilogue(acc, jnp.full((1, 8), 2.0 ** -10),
+                             jnp.zeros((1, 8)), relu=True)
+        s_x, o_x = jnp.float32(2.0 ** -5), jnp.float32(0.0)
+        got = fold_quantize(d, 1.0 / s_x, -o_x / s_x - 128.0, -128, 127)
+        assert int(jnp.max(got)) == int(jnp.min(got)) == -128  # code of 0
+
+    def test_qrelu_materialize(self):
+        x = jnp.array([[-1.0, 2.0]])
+        assert jnp.allclose(qrelu(x), jnp.array([[0.0, 2.0]]))
+        d = DeferredEpilogue(jnp.array([[-4, 4]], jnp.int32),
+                             jnp.float32(0.5), jnp.float32(1.0))
+        assert not d.relu and qrelu(d).relu
+        np.testing.assert_allclose(np.asarray(materialize(d)),
+                                   [[-1.0, 3.0]])
+        np.testing.assert_allclose(np.asarray(materialize(qrelu(d))),
+                                   [[0.0, 3.0]])
+        assert d.shape == (1, 2) and d.ndim == 2
+
+
+class TestChainedModels:
+    @pytest.mark.parametrize("name", ["RepVGG_A0", "mobileone_s0"])
+    def test_intc_matches_int(self, name):
+        model = get_model(name, num_classes=10, scheme=_scheme(),
+                          deploy=True)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32, 3))
+        v = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+        v = calibrate(model, v, [x])
+        v = prepare_deploy(model, v, sample_input=x)
+        y_int = model.apply(v, x, qmode="int")
+        y_c = model.apply(v, x, qmode="intc")
+        assert y_c.shape == y_int.shape
+        rel = float(jnp.linalg.norm(y_c - y_int)
+                    / (jnp.linalg.norm(y_int) + 1e-9))
+        assert rel < 2e-2   # ±1-code fp-reassociation flips only
+
+    def test_intc_on_trainform_falls_back(self):
+        """Non-deploy blocks map intc -> int (no wrapper leaks)."""
+        model = get_model("RepVGG_A0", num_classes=10, scheme=_scheme(),
+                          deploy=False)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        v = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+        v = calibrate(model, v, [x])
+        v = prepare_deploy(model, v, sample_input=x)
+        y = model.apply(v, x, qmode="intc")
+        assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
