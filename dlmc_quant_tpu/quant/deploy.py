@@ -54,6 +54,11 @@ import numpy as np
 #   reference point, not wired into the hot path.  Two earlier kernels
 #   (implicit-GEMM qconv, channel-major cmconv) measured further behind
 #   and were removed (see git history).
+# * Dense/1×1 contractions: jnp.dot int8→int32 sustains 354 TOP/s at
+#   4096³ and beats the Pallas int8_matmul everywhere that occurs in a
+#   model (head 512×1280×1000: 13.3 vs 6.8 TOP/s; M-heavy thin
+#   100352×192×192: 80 vs 19 TOP/s), so the Pallas GEMM was removed
+#   too (fence-corrected A/B, 2026-08; see git history).
 #
 # Whole-model consequence: deploy-form RepVGG-A0 int8 runs ~72k img/s
 # per chip at batch 512 vs ~40k fp32 (1.8×) with weight-resident
