@@ -122,8 +122,10 @@ def main():
     ips_int8, ips_fp32 = _bench_model("RepVGG_A0", BATCH, deploy=True)
     extra = {"fp32_ips": round(ips_fp32, 1), "batch": BATCH}
     try:
-        # second headline model per BASELINE.json's metric spec
-        r50_int8, r50_fp32 = _bench_model("resnet50", 256)
+        # second headline model per BASELINE.json's metric spec —
+        # deploy (BN-folded) form, the serve-ready graph (models/fuse.py:
+        # resnet_deploy); fp32 baseline is the same BN-free form
+        r50_int8, r50_fp32 = _bench_model("resnet50", 256, deploy=True)
         extra["resnet50_int8_ips"] = round(r50_int8, 1)
         extra["resnet50_fp32_ips"] = round(r50_fp32, 1)
     except Exception as e:   # never fail the headline on the extra

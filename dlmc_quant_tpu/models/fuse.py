@@ -177,3 +177,61 @@ def repvgg_fuse(model, variables, example_input, rngs=None):
     deploy_vars["params"] = new_params
     deploy_vars.pop("batch_stats", None)
     return deploy_model, deploy_vars
+
+
+_RESNET_BN_PARTNERS = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
+                       "downsample": "downsample_bn"}
+
+
+def resnet_deploy(model, variables, example_input=None, rngs=None):
+    """Train-form ResNet → BN-free deploy form (model, variables).
+
+    Folds every conv's partner BatchNorm into the conv's bias/kernel and
+    returns the ``deploy=True`` twin of the model, whose forward is pure
+    conv(+bias) → relu chains + residual adds — the graph the chained
+    int8 path (qmode='intc') wants.  Exact: same algebra as
+    :func:`fold_conv_bn` (ref: dlmc/utils/merge_bn.py:64-111); the
+    reference has no ResNet deploy conversion at all.
+
+    Works for CifarResNet / CifarResNetLarge (all resnet* factories);
+    partner discovery is by this zoo's fixed naming convention
+    (conv1↔bn1, conv2↔bn2, conv3↔bn3, downsample↔downsample_bn).
+    """
+    import jax as _jax
+
+    deploy_model = dataclasses.replace(model, deploy=True)
+    variables = flax.core.unfreeze(variables)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    if example_input is None:
+        example_input = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    rngs = rngs or _jax.random.PRNGKey(0)
+    template = flax.core.unfreeze(
+        _jax.jit(deploy_model.init)(rngs, example_input))
+
+    def fold_level(p, s, tmpl):
+        out = dict(tmpl)            # keeps quantizer params from init
+        for k, v in p.items():
+            bn = _RESNET_BN_PARTNERS.get(k)
+            if bn is not None and bn in p:
+                kern, bias = fold_conv_bn(
+                    v["kernel"], v.get("bias"),
+                    p[bn]["scale"], p[bn]["bias"],
+                    s[bn]["mean"], s[bn]["var"])
+                out[k] = {**tmpl.get(k, {}), "kernel": kern, "bias": bias}
+            elif k in _RESNET_BN_PARTNERS.values():
+                continue                      # absorbed into its conv
+            elif isinstance(v, dict):
+                out[k] = fold_level(v, s.get(k, {}), tmpl.get(k, {}))
+            else:
+                out[k] = v
+        return out
+
+    new_vars = {"params": fold_level(params, stats, template["params"])}
+    for col, tree in variables.items():
+        if col not in ("params", "batch_stats"):
+            new_vars[col] = tree
+    for col, tree in template.items():
+        if col not in new_vars and col != "batch_stats":
+            new_vars[col] = tree
+    return deploy_model, new_vars

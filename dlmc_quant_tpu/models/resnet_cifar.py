@@ -5,6 +5,14 @@ Capability parity with the reference's CIFAR zoo:
        3-stage 16/32/64 widths, option-A/B shortcuts)
   ref: model/classification/cifarresnet_large.py (18/34/50/101/152,
        ImageNet-style blocks with a 3×3 CIFAR stem)
+
+Every variant also has a **deploy form** (``deploy=True``): BatchNorms
+are folded into the conv biases ahead of time
+(:func:`dlmc_quant_tpu.models.fuse.resnet_deploy`), so the runtime
+graph is conv(+bias) → relu chains plus residual adds — the form the
+int8 path wants, with intra-block boundaries chained via
+``qmode='intc'`` (quant/chain.py).  The reference has no deploy form
+for ResNets; it runs BN at inference forever.
 """
 
 from __future__ import annotations
@@ -15,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from dlmc_quant_tpu.models.registry import register
+from dlmc_quant_tpu.quant.chain import materialize, qrelu
 from dlmc_quant_tpu.quant.config import QuantScheme
 from dlmc_quant_tpu.quant.layers import QConv, QDense
 
@@ -29,18 +38,24 @@ class BasicBlock(nn.Module):
     features: int
     strides: Tuple[int, int] = (1, 1)
     option: str = "B"  # 'A' = pad shortcut (CIFAR), 'B' = 1x1 conv
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, qmode: str = "eval"):
+        dep = self.deploy
+        if not dep and qmode == "intc":
+            qmode = "int"       # chaining needs the BN-folded form
         residual = x
-        y = QConv(self.features, (3, 3), self.strides, use_bias=False,
+        y = QConv(self.features, (3, 3), self.strides, use_bias=dep,
                   name="conv1", scheme=self.scheme)(x, qmode=qmode)
-        y = _bn(train, "bn1")(y)
-        y = nn.relu(y)
-        y = QConv(self.features, (3, 3), use_bias=False,
+        if not dep:
+            y = _bn(train, "bn1")(y)
+        y = qrelu(y)
+        y = QConv(self.features, (3, 3), use_bias=dep,
                   name="conv2", scheme=self.scheme)(y, qmode=qmode)
-        y = _bn(train, "bn2")(y)
+        if not dep:
+            y = _bn(train, "bn2")(y)
         if self.strides != (1, 1) or x.shape[-1] != self.features:
             if self.option == "A":
                 # parameter-free: stride-subsample + zero-pad channels
@@ -51,38 +66,45 @@ class BasicBlock(nn.Module):
                                (pad // 2, pad - pad // 2)))
             else:
                 residual = QConv(self.features, (1, 1), self.strides,
-                                 use_bias=False, name="downsample",
+                                 use_bias=dep, name="downsample",
                                  scheme=self.scheme)(x, qmode=qmode)
-                residual = _bn(train, "downsample_bn")(residual)
-        return nn.relu(y + residual)
+                if not dep:
+                    residual = _bn(train, "downsample_bn")(residual)
+        return nn.relu(materialize(y) + materialize(residual))
 
 
 class Bottleneck(nn.Module):
     """1×1-3×3-1×1 bottleneck (expansion 4).  ref: cifarresnet_large.py."""
     features: int
     strides: Tuple[int, int] = (1, 1)
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False, qmode: str = "eval"):
+        dep = self.deploy
+        if not dep and qmode == "intc":
+            qmode = "int"
         out_features = self.features * self.expansion
         residual = x
-        y = QConv(self.features, (1, 1), use_bias=False, name="conv1",
+        y = QConv(self.features, (1, 1), use_bias=dep, name="conv1",
                   scheme=self.scheme)(x, qmode=qmode)
-        y = nn.relu(_bn(train, "bn1")(y))
-        y = QConv(self.features, (3, 3), self.strides, use_bias=False,
+        y = qrelu(y if dep else _bn(train, "bn1")(y))
+        y = QConv(self.features, (3, 3), self.strides, use_bias=dep,
                   name="conv2", scheme=self.scheme)(y, qmode=qmode)
-        y = nn.relu(_bn(train, "bn2")(y))
-        y = QConv(out_features, (1, 1), use_bias=False, name="conv3",
+        y = qrelu(y if dep else _bn(train, "bn2")(y))
+        y = QConv(out_features, (1, 1), use_bias=dep, name="conv3",
                   scheme=self.scheme)(y, qmode=qmode)
-        y = _bn(train, "bn3")(y)
+        if not dep:
+            y = _bn(train, "bn3")(y)
         if self.strides != (1, 1) or x.shape[-1] != out_features:
             residual = QConv(out_features, (1, 1), self.strides,
-                             use_bias=False, name="downsample",
+                             use_bias=dep, name="downsample",
                              scheme=self.scheme)(x, qmode=qmode)
-            residual = _bn(train, "downsample_bn")(residual)
-        return nn.relu(y + residual)
+            if not dep:
+                residual = _bn(train, "downsample_bn")(residual)
+        return nn.relu(materialize(y) + materialize(residual))
 
 
 class CifarResNet(nn.Module):
@@ -90,23 +112,28 @@ class CifarResNet(nn.Module):
     depth_n: int = 3                       # blocks per stage; depth = 6n+2
     num_classes: int = 10
     option: str = "A"
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, qmode: str = "eval"):
-        x = QConv(16, (3, 3), use_bias=False, name="conv1",
+        if not self.deploy and qmode == "intc":
+            qmode = "int"       # chaining needs the BN-folded form
+        x = QConv(16, (3, 3), use_bias=self.deploy, name="conv1",
                   scheme=self.scheme)(x, qmode=qmode)
-        x = nn.relu(_bn(train, "bn1")(x))
+        if not self.deploy:
+            x = _bn(train, "bn1")(x)
+        x = qrelu(x)
         for si, w in enumerate((16, 32, 64), start=1):
             for bi in range(self.depth_n):
                 strides = (2, 2) if (bi == 0 and si > 1) else (1, 1)
                 x = BasicBlock(w, strides, option=self.option,
-                               name=f"layer{si}_{bi}",
+                               deploy=self.deploy, name=f"layer{si}_{bi}",
                                scheme=self.scheme)(x, train=train,
                                                    qmode=qmode)
-        x = jnp.mean(x, axis=(1, 2))
-        return QDense(self.num_classes, name="linear",
-                      scheme=self.scheme)(x, qmode=qmode)
+        x = jnp.mean(materialize(x), axis=(1, 2))
+        return materialize(QDense(self.num_classes, name="linear",
+                                  scheme=self.scheme)(x, qmode=qmode))
 
 
 class CifarResNetLarge(nn.Module):
@@ -120,30 +147,38 @@ class CifarResNetLarge(nn.Module):
     bottleneck: bool = False
     num_classes: int = 10
     imagenet_stem: bool = False
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, qmode: str = "eval"):
+        if not self.deploy and qmode == "intc":
+            qmode = "int"       # chaining needs the BN-folded form
         if self.imagenet_stem:
-            x = QConv(64, (7, 7), (2, 2), use_bias=False, name="conv1",
-                      scheme=self.scheme)(x, qmode=qmode)
-            x = nn.relu(_bn(train, "bn1")(x))
+            x = QConv(64, (7, 7), (2, 2), use_bias=self.deploy,
+                      name="conv1", scheme=self.scheme)(x, qmode=qmode)
+            if not self.deploy:
+                x = _bn(train, "bn1")(x)
+            x = nn.relu(materialize(x))
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1),
                                                                 (1, 1)))
         else:
-            x = QConv(64, (3, 3), use_bias=False, name="conv1",
+            x = QConv(64, (3, 3), use_bias=self.deploy, name="conv1",
                       scheme=self.scheme)(x, qmode=qmode)
-            x = nn.relu(_bn(train, "bn1")(x))
+            if not self.deploy:
+                x = _bn(train, "bn1")(x)
+            x = qrelu(x)
         block = Bottleneck if self.bottleneck else BasicBlock
         for si, (n, w) in enumerate(zip(self.stage_sizes,
                                         (64, 128, 256, 512)), start=1):
             for bi in range(n):
                 strides = (2, 2) if (bi == 0 and si > 1) else (1, 1)
-                x = block(w, strides, name=f"layer{si}_{bi}",
+                x = block(w, strides, deploy=self.deploy,
+                          name=f"layer{si}_{bi}",
                           scheme=self.scheme)(x, train=train, qmode=qmode)
-        x = jnp.mean(x, axis=(1, 2))
-        return QDense(self.num_classes, name="linear",
-                      scheme=self.scheme)(x, qmode=qmode)
+        x = jnp.mean(materialize(x), axis=(1, 2))
+        return materialize(QDense(self.num_classes, name="linear",
+                                  scheme=self.scheme)(x, qmode=qmode))
 
 
 def _small(name, n):

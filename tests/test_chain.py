@@ -98,3 +98,47 @@ class TestChainedModels:
         v = prepare_deploy(model, v, sample_input=x)
         y = model.apply(v, x, qmode="intc")
         assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
+
+
+class TestResNetDeploy:
+    def test_fold_exact_and_intc_runs(self):
+        """resnet_deploy: BN-free deploy twin matches the train-form
+        eval forward; the intc int path runs and tracks it."""
+        import flax
+        from dlmc_quant_tpu.models.fuse import resnet_deploy
+
+        model = get_model("cifar_resnet20", num_classes=10,
+                          scheme=_scheme())
+        x = jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32, 3))
+        v = flax.core.unfreeze(jax.jit(model.init)(jax.random.PRNGKey(1), x))
+        # make BN stats non-trivial so the fold is actually exercised
+        v["batch_stats"] = jax.tree_util.tree_map(
+            lambda a: a + 0.3 * jax.random.uniform(
+                jax.random.PRNGKey(2), a.shape), v["batch_stats"])
+
+        dmodel, dv = resnet_deploy(model, v)
+        y_train = model.apply(v, x, qmode="fp")
+        y_dep = dmodel.apply(dv, x, qmode="fp")
+        np.testing.assert_allclose(np.asarray(y_dep), np.asarray(y_train),
+                                   rtol=2e-4, atol=2e-5)
+        assert "batch_stats" not in dv
+
+        dv = calibrate(dmodel, dv, [x])
+        dv = prepare_deploy(dmodel, dv, sample_input=x)
+        y_int = dmodel.apply(dv, x, qmode="int")
+        y_c = dmodel.apply(dv, x, qmode="intc")
+        rel = float(jnp.linalg.norm(y_c - y_int)
+                    / (jnp.linalg.norm(y_int) + 1e-9))
+        assert y_c.shape == (4, 10) and rel < 2e-2
+
+    def test_bottleneck_variant(self):
+        import flax
+        from dlmc_quant_tpu.models.fuse import resnet_deploy
+        model = get_model("cifar_resnet50", num_classes=10,
+                          scheme=_scheme())
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        v = flax.core.unfreeze(jax.jit(model.init)(jax.random.PRNGKey(1), x))
+        dmodel, dv = resnet_deploy(model, v)
+        np.testing.assert_allclose(
+            np.asarray(dmodel.apply(dv, x, qmode="fp")),
+            np.asarray(model.apply(v, x, qmode="fp")), rtol=2e-4, atol=2e-5)
