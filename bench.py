@@ -10,11 +10,18 @@ FP32 forward on the same chip (the reference publishes no numbers —
 BASELINE.json "published" is {} — so FP32-on-same-hardware is the
 baseline the int8 engine must beat).
 
+Extras carry the other BASELINE-named models: ResNet-50 (chained
+residual int8, quant/chain.py QuantizedTensor), MobileOne-S1 at W8A8
+and W4A8 (native-S4 weights), and RepVGG-D2se (SE blocks materialize
+the chain — see the engine note in quant/deploy.py).
+
 Timing notes: on the axon TPU tunnel ``block_until_ready`` does not
 synchronize; we queue ``iters`` dependent-free forwards and force
 completion by fetching a scalar from the last result (device executes
-in-order), which bounds throughput correctly.  The scalar fetch itself
-costs ~25 ms of tunnel round-trip, subtracted from each round.
+in-order), which bounds throughput correctly.  The scalar-fetch fence
+costs ~25 ms of tunnel round-trip — measured fresh at startup (it
+drifts with tunnel load; a hard-coded constant skewed earlier rounds)
+and subtracted from each round.
 
 Dispatch: both paths run in serving form — the weights are captured in
 the jitted program (quant/deploy.py:make_serving_fn) because passing
@@ -47,8 +54,23 @@ ITERS = 30
 WARMUP = 3
 ROUNDS = 3
 
+FENCE_S = 0.025   # fallback; overwritten by _measure_fence() at startup
 
-FENCE_S = 0.025   # measured scalar-fetch round-trip on the tunnel
+
+def _measure_fence():
+    """Measure the scalar-fetch round-trip: fetch from an already-ready
+    tiny array.  Min of several samples — the cost every ``_one_round``
+    subtracts.  Hard-coding it (earlier rounds) skews every number by a
+    fixed offset when tunnel RTT drifts."""
+    global FENCE_S
+    y = jnp.zeros((1,), jnp.float32) + 1.0
+    float(jnp.sum(y))                      # ensure materialized
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(y))
+        samples.append(time.perf_counter() - t0)
+    FENCE_S = min(samples)
 
 
 def _one_round(fn, x, iters=ITERS):
@@ -56,7 +78,9 @@ def _one_round(fn, x, iters=ITERS):
     for _ in range(iters):
         y = fn(x)
     float(jnp.sum(y))  # fence: forces all queued work to finish
-    return x.shape[0] * iters / (time.perf_counter() - t0 - FENCE_S)
+    # clamp: a fast program at low iters can dip below the fence noise
+    elapsed = max(time.perf_counter() - t0 - FENCE_S, 1e-4)
+    return x.shape[0] * iters / elapsed
 
 
 def _throughput_pair(fn_a, fn_b, x):
@@ -75,39 +99,61 @@ def _throughput_pair(fn_a, fn_b, x):
     return best_a, best_b
 
 
-def _bench_model(name: str, batch: int, **model_kw):
-    from dlmc_quant_tpu.models import get_model
+def _scheme(w_bits: int = 8):
     from dlmc_quant_tpu.quant.config import scheme_from_dict
-    from dlmc_quant_tpu.quant.deploy import make_serving_fn, prepare_deploy
-    from dlmc_quant_tpu.quant.layers import calibrate
-
-    scheme = scheme_from_dict({
+    return scheme_from_dict({
         "quantization_type": "FSPTQ",
         "weight": {"enable": True, "type": "minmax_channel",
-                   "args": {"n_bits": 8, "signed": True}},
+                   "args": {"n_bits": w_bits, "signed": True}},
         "input": {"enable": True, "type": "minmax_tensor",
                   "args": {"n_bits": 8, "signed": False}},
     })
-    model = get_model(name, num_classes=1000, scheme=scheme, **model_kw)
+
+
+def _prep(name: str, batch: int, w_bits: int = 8, **model_kw):
+    from dlmc_quant_tpu.models import get_model
+    from dlmc_quant_tpu.quant.deploy import prepare_deploy
+    from dlmc_quant_tpu.quant.layers import calibrate
+
+    model = get_model(name, num_classes=1000, scheme=_scheme(w_bits),
+                      **model_kw)
     x = jax.random.uniform(jax.random.PRNGKey(0), (batch, 224, 224, 3),
                            jnp.float32)
     xc = x[:8]
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), xc)
     variables = calibrate(model, variables, [xc])
     variables = prepare_deploy(model, variables, sample_input=xc)
+    return model, variables, x
 
-    # int8: fastest of plain 'int' and the chained int8-resident 'intc'
-    # (folded relu+requant boundaries, quant/chain.py); both are exact
-    # deploy paths, 'intc' saves ~1/3 of the VPU epilogue ops
+
+def _int8_fn(model, variables, x):
+    """Fastest deploy program: chained 'intc' vs plain 'int' probe."""
+    from dlmc_quant_tpu.quant.deploy import make_serving_fn
     int_fns = []
     for qm in ("intc", "int"):
         try:
             fn = make_serving_fn(model, variables, qmode=qm)
             float(jnp.sum(fn(x)))
             int_fns.append(fn)
-        except Exception:          # model without intc support
-            pass
-    int8_fn = max(int_fns, key=lambda f: _one_round(f, x, 8))
+        except Exception as e:          # model without intc support
+            print(f"# bench: qmode={qm} unavailable: {e!r}"[:200],
+                  file=sys.stderr)
+    if not int_fns:
+        # last resort: arg-passed plain int forward (never silently
+        # empty — an int8 deploy path must exist for every zoo model)
+        fn_ = jax.jit(lambda v, x: model.apply(v, x, qmode="int"))
+        int_fns = [lambda x: fn_(variables, x)]
+        float(jnp.sum(int_fns[0](x)))
+    if len(int_fns) == 1:
+        return int_fns[0]
+    return max(int_fns, key=lambda f: _one_round(f, x, 16))
+
+
+def _bench_model(name: str, batch: int, **model_kw):
+    from dlmc_quant_tpu.quant.deploy import make_serving_fn
+
+    model, variables, x = _prep(name, batch, **model_kw)
+    int8_fn = _int8_fn(model, variables, x)
     # fp32 baseline: fastest of the two dispatch forms (see module doc)
     fp_cap = make_serving_fn(model, variables, qmode="fp")
     fp_arg_ = jax.jit(lambda v, x: model.apply(v, x, qmode="fp"))
@@ -118,18 +164,45 @@ def _bench_model(name: str, batch: int, **model_kw):
     return _throughput_pair(int8_fn, fp_fn, x)
 
 
+def _bench_int_only(name: str, batch: int, w_bits: int = 8, **model_kw):
+    """Best-of-ROUNDS int8 throughput, no fp32 pairing (extras)."""
+    model, variables, x = _prep(name, batch, w_bits=w_bits, **model_kw)
+    fn = _int8_fn(model, variables, x)
+    for _ in range(WARMUP):
+        y = fn(x)
+    float(jnp.sum(y))
+    return max(_one_round(fn, x) for _ in range(ROUNDS))
+
+
 def main():
+    _measure_fence()
     ips_int8, ips_fp32 = _bench_model("RepVGG_A0", BATCH, deploy=True)
-    extra = {"fp32_ips": round(ips_fp32, 1), "batch": BATCH}
-    try:
+    extra = {"fp32_ips": round(ips_fp32, 1), "batch": BATCH,
+             "fence_ms": round(FENCE_S * 1e3, 2)}
+    for key, fn in (
         # second headline model per BASELINE.json's metric spec —
-        # deploy (BN-folded) form, the serve-ready graph (models/fuse.py:
-        # resnet_deploy); fp32 baseline is the same BN-free form
-        r50_int8, r50_fp32 = _bench_model("resnet50", 256, deploy=True)
-        extra["resnet50_int8_ips"] = round(r50_int8, 1)
-        extra["resnet50_fp32_ips"] = round(r50_fp32, 1)
-    except Exception as e:   # never fail the headline on the extra
-        extra["resnet50_error"] = str(e)[:120]
+        # deploy (BN-folded) form with chained residual boundaries
+        ("resnet50", lambda: _bench_model("resnet50", 256, deploy=True)),
+        # BASELINE config #4's model: MobileOne-S1 deploy form, W8A8
+        # and W4A8 (native-S4 weight storage)
+        ("mobileone_s1_int8_ips",
+         lambda: _bench_int_only("mobileone_s1", 256, deploy=True)),
+        ("mobileone_s1_w4a8_ips",
+         lambda: _bench_int_only("mobileone_s1", 256, w_bits=4,
+                                 deploy=True)),
+        # SE variant: SEBlock materializes the chain (models/repvgg.py)
+        ("repvgg_d2se_int8_ips",
+         lambda: _bench_int_only("RepVGG_D2se", 64, deploy=True)),
+    ):
+        try:
+            r = fn()
+            if key == "resnet50":
+                extra["resnet50_int8_ips"] = round(r[0], 1)
+                extra["resnet50_fp32_ips"] = round(r[1], 1)
+            else:
+                extra[key] = round(r, 1)
+        except Exception as e:   # never fail the headline on an extra
+            extra[f"{key}_error"] = str(e)[:120]
 
     print(json.dumps({
         "metric": "repvgg_a0_int8_images_per_sec_per_chip",

@@ -210,7 +210,7 @@ def resnet_deploy(model, variables, example_input=None, rngs=None):
         _jax.jit(deploy_model.init)(rngs, example_input))
 
     def fold_level(p, s, tmpl):
-        out = dict(tmpl)            # keeps quantizer params from init
+        out = dict(tmpl)            # keeps template-only leaves (out_q)
         for k, v in p.items():
             bn = _RESNET_BN_PARTNERS.get(k)
             if bn is not None and bn in p:
@@ -218,7 +218,18 @@ def resnet_deploy(model, variables, example_input=None, rngs=None):
                     v["kernel"], v.get("bias"),
                     p[bn]["scale"], p[bn]["bias"],
                     s[bn]["mean"], s[bn]["var"])
-                out[k] = {**tmpl.get(k, {}), "kernel": kern, "bias": bias}
+                # carry the source conv's calibrated quantizer params
+                # (in_scale/wt_scale/alpha) over the fresh-init template
+                # — only kernel/bias change under BN folding.  NOTE:
+                # weight scales calibrated on the *unfolded* kernel do
+                # not describe the folded one; rerun calibrate (and
+                # prepare_deploy) after conversion, as the deploy
+                # pipeline does (ref: example/quantization/
+                # FSPTQuant.py:65-80 refits after merge_bn too).
+                out[k] = {**tmpl.get(k, {}),
+                          **{kk: vv for kk, vv in v.items()
+                             if kk not in ("kernel", "bias")},
+                          "kernel": kern, "bias": bias}
             elif k in _RESNET_BN_PARTNERS.values():
                 continue                      # absorbed into its conv
             elif isinstance(v, dict):
@@ -227,11 +238,21 @@ def resnet_deploy(model, variables, example_input=None, rngs=None):
                 out[k] = v
         return out
 
+    def deep_merge(tmpl, src):
+        """Overlay source leaves on the template (template-only leaves —
+        e.g. the deploy-form block-output quantizer state — survive)."""
+        if not isinstance(tmpl, dict) or not isinstance(src, dict):
+            return src
+        out = dict(tmpl)
+        for k, v in src.items():
+            out[k] = deep_merge(tmpl.get(k), v) if k in tmpl else v
+        return out
+
     new_vars = {"params": fold_level(params, stats, template["params"])}
-    for col, tree in variables.items():
+    for col, tree in template.items():
         if col not in ("params", "batch_stats"):
             new_vars[col] = tree
-    for col, tree in template.items():
-        if col not in new_vars and col != "batch_stats":
-            new_vars[col] = tree
+    for col, tree in variables.items():
+        if col not in ("params", "batch_stats"):
+            new_vars[col] = deep_merge(new_vars.get(col, {}), tree)
     return deploy_model, new_vars

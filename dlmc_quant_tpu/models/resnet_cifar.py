@@ -23,9 +23,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from dlmc_quant_tpu.models.registry import register
-from dlmc_quant_tpu.quant.chain import materialize, qrelu
+from dlmc_quant_tpu.quant.chain import QuantizedTensor, materialize, qrelu
 from dlmc_quant_tpu.quant.config import QuantScheme
-from dlmc_quant_tpu.quant.layers import QConv, QDense
+from dlmc_quant_tpu.quant.layers import QBlockOutput, QConv, QDense
 
 
 def _bn(train, name):
@@ -59,17 +59,29 @@ class BasicBlock(nn.Module):
         if self.strides != (1, 1) or x.shape[-1] != self.features:
             if self.option == "A":
                 # parameter-free: stride-subsample + zero-pad channels
-                residual = x[:, ::self.strides[0], ::self.strides[1], :]
                 pad = self.features - x.shape[-1]
-                residual = jnp.pad(
-                    residual, ((0, 0), (0, 0), (0, 0),
-                               (pad // 2, pad - pad // 2)))
+                pads = ((0, 0), (0, 0), (0, 0),
+                        (pad // 2, pad - pad // 2))
+                if isinstance(x, QuantizedTensor):
+                    # chained codes: slice codes, pad with the code for
+                    # real 0 — stays int8-resident through the shortcut
+                    qc = x.q[:, ::self.strides[0], ::self.strides[1], :]
+                    residual = QuantizedTensor(
+                        jnp.pad(qc, pads, constant_values=x.zero_code()),
+                        x.scale, x.bias)
+                else:
+                    residual = jnp.pad(
+                        materialize(x)[:, ::self.strides[0],
+                                       ::self.strides[1], :], pads)
             else:
                 residual = QConv(self.features, (1, 1), self.strides,
                                  use_bias=dep, name="downsample",
                                  scheme=self.scheme)(x, qmode=qmode)
                 if not dep:
                     residual = _bn(train, "downsample_bn")(residual)
+        if dep:
+            return QBlockOutput(name="out_q", scheme=self.scheme)(
+                y, residual, qmode=qmode)
         return nn.relu(materialize(y) + materialize(residual))
 
 
@@ -104,6 +116,9 @@ class Bottleneck(nn.Module):
                              scheme=self.scheme)(x, qmode=qmode)
             if not dep:
                 residual = _bn(train, "downsample_bn")(residual)
+        if dep:
+            return QBlockOutput(name="out_q", scheme=self.scheme)(
+                y, residual, qmode=qmode)
         return nn.relu(materialize(y) + materialize(residual))
 
 

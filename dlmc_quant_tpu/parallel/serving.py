@@ -55,7 +55,8 @@ class InferenceEngine:
                  batch_size: int = 64, qmode: str = "int",
                  max_wait_ms: float = 2.0, data_axis: str = "data",
                  model_axis: str = "model", lockstep: Optional[bool] = None,
-                 tick_ms: float = 5.0, consensus_every: int = 8):
+                 tick_ms: float = 5.0, consensus_every: int = 8,
+                 weight_resident: bool = True):
         self.model = model
         self.mesh = mesh
         self.batch_size = batch_size
@@ -77,13 +78,25 @@ class InferenceEngine:
             self._in_sharding = None
         self.variables = variables
 
-        # Weight-resident dispatch: variables are serving-time constants,
-        # so they are captured in the jitted program rather than passed
-        # per call — per-call pytree marshalling costs ~7 ms on the axon
-        # tunnel (see quant/deploy.py:make_serving_fn).
-        captured = self.variables
-        self._fwd = jax.jit(
-            lambda x: self.model.apply(captured, x, qmode=self.qmode))
+        # Weight-resident dispatch (default): variables are serving-time
+        # constants, so they are captured in the jitted program rather
+        # than passed per call — per-call pytree marshalling costs ~7 ms
+        # on the axon tunnel (see quant/deploy.py:make_serving_fn).
+        # NOTE the variables are *frozen into the program* at
+        # construction: later mutation of ``engine.variables`` is
+        # ignored.  Pass ``weight_resident=False`` for the arg-passed
+        # form — faster for fp32 weights on the tunnel (the captured
+        # form re-stages large fp32 constants per call: measured 30k vs
+        # 40k img/s) and required for models whose captured constants
+        # exceed ~100 MB (remote-compile request limit).
+        if weight_resident:
+            captured = self.variables
+            self._fwd = jax.jit(
+                lambda x: self.model.apply(captured, x, qmode=self.qmode))
+        else:
+            fwd = jax.jit(
+                lambda v, x: self.model.apply(v, x, qmode=self.qmode))
+            self._fwd = lambda x: fwd(self.variables, x)
         self._queue: "queue.Queue" = queue.Queue()
         self._carry = None          # request deferred to the next batch
         self._stop = threading.Event()

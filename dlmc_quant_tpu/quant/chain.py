@@ -34,6 +34,19 @@ folded clamp.  Sequential deploy stacks (RepVGG, MobileOne) thread it;
 :func:`materialize` closes the chain before non-quantized ops (GAP,
 losses).  The reference has no analogue: its deploy path is fp32
 emulation end-to-end (ref: dlmc/quantization/scalar/modules/base.py:96-140).
+
+Residual boundaries (ResNet blocks) chain through
+:class:`QuantizedTensor`: the block's output quantizer
+(``quant.layers.QBlockOutput``) folds *trunk epilogue + shortcut +
+ReLU + quantize* into one fused clamp producing int8 codes on the
+block's own calibrated grid (value ≈ ``q·scale + bias``).  Both
+consumers of a block output — the next block's first conv and its
+shortcut path — read those codes straight from HBM (1 byte/value
+instead of 4), and a consumer conv adapts its epilogue to the incoming
+grid via the stored column-sums (see ``_int_conv``), so no
+requantization pass ever runs.  This is the standard fully-int8
+residual-net deployment the reference's fp32 emulation never needs
+(ref: model/classification/cifarresnet.py BasicBlock forward).
 """
 
 from __future__ import annotations
@@ -62,15 +75,47 @@ class DeferredEpilogue:
         return self.acc.ndim
 
 
+@struct.dataclass
+class QuantizedTensor:
+    """int8 codes on a per-tensor affine grid: real ≈ ``q·scale + bias``.
+
+    Produced at residual-block boundaries by ``QBlockOutput`` in
+    ``qmode='intc'``; consumed directly by quantized convs/denses
+    (grid-adapted epilogue) and by residual adds (one FMA per value).
+    """
+    q: jnp.ndarray                       # int8 codes
+    scale: jnp.ndarray                   # f32 scalar
+    bias: jnp.ndarray                    # f32 scalar
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    def zero_code(self):
+        """int8 code whose real value is (closest to) 0 — the pad code."""
+        return jnp.clip(jnp.round(-self.bias / self.scale),
+                        -128, 127).astype(jnp.int8)
+
+
 def qrelu(x):
     """ReLU that stays lazy on a :class:`DeferredEpilogue`."""
     if isinstance(x, DeferredEpilogue):
         return x.replace(relu=True)
+    if isinstance(x, QuantizedTensor):
+        # block-boundary codes are already post-ReLU (clamped at the
+        # zero code); a further ReLU clamps there again
+        return x.replace(q=jnp.maximum(x.q, x.zero_code()))
     return jax.nn.relu(x)
 
 
 def materialize(x) -> jnp.ndarray:
     """Close a chain: f32 value of a deferred output (no-op on arrays)."""
+    if isinstance(x, QuantizedTensor):
+        return x.q.astype(jnp.float32) * x.scale + x.bias
     if not isinstance(x, DeferredEpilogue):
         return x
     y = x.acc.astype(jnp.float32) * x.scale + x.bias
@@ -90,4 +135,38 @@ def fold_quantize(x: DeferredEpilogue, inv_s, qbias, qmin_s: int,
     if x.relu:
         lo = jnp.clip(jnp.round(qbias), qmin_s, qmax_s)
     q = jnp.clip(jnp.round(x.acc.astype(jnp.float32) * a + b), lo, qmax_s)
+    return q.astype(jnp.int8)
+
+
+def fold_sum_quantize(terms, inv_s, qbias, lo, qmax_s: int) -> jnp.ndarray:
+    """Residual boundary: int8 codes of ``relu(Σ terms)`` on a grid.
+
+    Each term is a :class:`DeferredEpilogue`, :class:`QuantizedTensor`
+    or plain f32 array; their sum is scaled onto the grid given by
+    ``inv_s``/``qbias`` (the block-output plan's ``1/s`` and
+    ``-o/s - shift``) in one fused FMA chain:
+
+        q = clip(round(Σᵢ vᵢ·inv + qbias), lo, qmax_s)
+
+    with each ``vᵢ·inv`` folded into the term's own affine so no term is
+    ever materialized at f32 precision in HBM.  The ReLU lives in ``lo``
+    (the code for real 0), exactly as in :func:`fold_quantize`.  A
+    *relu-flagged* DeferredEpilogue term is nonlinear inside a sum and
+    is materialized first (occurs only for the stem→first-block
+    shortcut).
+    """
+    total = jnp.float32(qbias)
+    for t in terms:
+        if isinstance(t, DeferredEpilogue):
+            if t.relu:
+                total = total + materialize(t) * inv_s
+            else:
+                total = (total + t.acc.astype(jnp.float32) * (t.scale * inv_s)
+                         + t.bias * inv_s)
+        elif isinstance(t, QuantizedTensor):
+            total = (total + t.q.astype(jnp.float32) * (t.scale * inv_s)
+                     + t.bias * inv_s)
+        else:
+            total = total + t * inv_s
+    q = jnp.clip(jnp.round(total), lo, qmax_s)
     return q.astype(jnp.int8)

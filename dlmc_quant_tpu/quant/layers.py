@@ -500,6 +500,13 @@ class _IntOps:
                 "in_offset": o_x.astype(jnp.float32),
                 "pad_val": dp.int8_pad_value(s_x, o_x, aqmin, aqmax),
                 "bias_eff": bias_eff.astype(jnp.float32),
+                # raw colsum + bias so a consumer can re-derive the
+                # epilogue for codes arriving on a *different* grid
+                # (chained residual boundaries, quant/chain.py
+                # QuantizedTensor)
+                "colsum": colsum,
+                "bias0": (bias.astype(jnp.float32) if bias is not None
+                          else jnp.zeros_like(colsum)),
             })
         return plan
 
@@ -510,7 +517,7 @@ class _IntOps:
     def _load_plan(self):
         names = ("w_int", "w_int4", "w_i4", "w_scale", "in_scale",
                  "in_inv_scale", "in_qbias", "in_offset", "pad_val",
-                 "bias_eff")
+                 "bias_eff", "colsum", "bias0")
         return {n: self.get_variable("qint", n) for n in names
                 if self.has_variable("qint", n)}
 
@@ -657,7 +664,20 @@ class QConv(nn.Module, _QuantOps, _IntOps):
 
         aqmin, aqmax = self._act_qrange(cfg)
         shift = dp.act_shift(aqmax)
-        if isinstance(x, qchain.DeferredEpilogue):
+        in_scale, bias_eff, pad_val = (plan.get("in_scale"),
+                                       plan.get("bias_eff"),
+                                       plan.get("pad_val"))
+        if isinstance(x, qchain.QuantizedTensor):
+            # chained residual boundary: codes arrive on the *producer's*
+            # grid (value ≈ q·s + b); adapt the epilogue instead of
+            # requantizing — bias term re-derived from the stored
+            # column-sums, so the int8 codes feed the MXU directly
+            x_i8 = x.q
+            in_scale = x.scale
+            bias_eff = x.bias * plan["w_scale"] * plan["colsum"] \
+                + plan["bias0"]
+            pad_val = x.zero_code()
+        elif isinstance(x, qchain.DeferredEpilogue):
             # chained boundary: fold producer epilogue + ReLU + this
             # layer's act quantize into one FMA + clamp (see chain.py)
             x_i8 = qchain.fold_quantize(x, plan["in_inv_scale"],
@@ -688,20 +708,20 @@ class QConv(nn.Module, _QuantOps, _IntOps):
             # more than the fatter contraction saves (~+0.2 ms on a
             # RepVGG-A0 batch-256 forward), XLA's native small-C conv
             # lowering is already adequate.
-            acc = _s2d_conv(x_i8, w_int, plan["pad_val"])
+            acc = _s2d_conv(x_i8, w_int, pad_val)
         else:
             x_p = jnp.pad(x_i8, ((0, 0), (plo, phi), (qlo, qhi), (0, 0)),
-                          constant_values=plan["pad_val"])
+                          constant_values=pad_val)
             acc = jax.lax.conv_general_dilated(
                 x_p, w_int, window_strides=self.strides, padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.feature_group_count,
                 preferred_element_type=jnp.int32)
-        scale = (plan["in_scale"] * plan["w_scale"]).reshape(1, 1, 1, -1)
+        scale = (in_scale * plan["w_scale"]).reshape(1, 1, 1, -1)
         if qmode == "intc":
             return qchain.DeferredEpilogue(
-                acc, scale, plan["bias_eff"].reshape(1, 1, 1, -1))
-        return acc.astype(jnp.float32) * scale + plan["bias_eff"]
+                acc, scale, bias_eff.reshape(1, 1, 1, -1))
+        return acc.astype(jnp.float32) * scale + bias_eff
 
 
 class QDense(nn.Module, _QuantOps, _IntOps):
@@ -763,7 +783,14 @@ class QDense(nn.Module, _QuantOps, _IntOps):
 
         aqmin, aqmax = self._act_qrange(cfg)
         shift = dp.act_shift(aqmax)
-        if isinstance(x, qchain.DeferredEpilogue):
+        in_scale, bias_eff = plan.get("in_scale"), plan.get("bias_eff")
+        if isinstance(x, qchain.QuantizedTensor):
+            # grid-adapted epilogue for chained codes (see _int_conv)
+            x_i8 = x.q
+            in_scale = x.scale
+            bias_eff = x.bias * plan["w_scale"] * plan["colsum"] \
+                + plan["bias0"]
+        elif isinstance(x, qchain.DeferredEpilogue):
             x_i8 = qchain.fold_quantize(x, plan["in_inv_scale"],
                                         plan["in_qbias"],
                                         aqmin - shift, aqmax - shift)
@@ -773,11 +800,88 @@ class QDense(nn.Module, _QuantOps, _IntOps):
                                      inv_s_x=plan.get("in_inv_scale"),
                                      qbias=plan.get("in_qbias"))
         acc = jnp.dot(x_i8, w_int, preferred_element_type=jnp.int32)
-        scale = plan["in_scale"] * plan["w_scale"]
+        scale = in_scale * plan["w_scale"]
         if qmode == "intc":
             return qchain.DeferredEpilogue(acc, jnp.reshape(scale, (1, -1)),
-                                           plan["bias_eff"].reshape(1, -1))
-        return acc.astype(jnp.float32) * scale + plan["bias_eff"]
+                                           bias_eff.reshape(1, -1))
+        return acc.astype(jnp.float32) * scale + bias_eff
+
+
+class QBlockOutput(nn.Module, _QuantOps):
+    """Residual-block output quantizer: ``relu(trunk + shortcut)`` → int8.
+
+    The missing link for int8-resident residual nets: in every qmode but
+    ``'intc'`` this is exactly ``relu(y + r)`` (so train/eval/PTQ
+    numerics are untouched); in ``'intc'`` it folds *trunk epilogue +
+    shortcut + ReLU + quantize* into one fused clamp emitting a
+    :class:`~dlmc_quant_tpu.quant.chain.QuantizedTensor` on the block's
+    own calibrated per-tensor grid.  Downstream, both consumers of the
+    block output (next conv1 and next shortcut) read those int8 codes
+    straight from HBM — 1 byte/value instead of 4, and no separate
+    add/relu/quantize passes.
+
+    Calibration: ``qmode='calibrate'`` observes the f32 block output
+    with the scheme's input-observer config and stores scale (param,
+    via the ``qcal`` merge) and float offset (``qstate``) — single
+    batch, like the reference's lazy first-forward init (ref:
+    modules/base.py:82-129).  ``deploy_prep`` then freezes the grid
+    into a ``qint`` plan.  The reference has no analogue (its deploy
+    path emulates in fp32 end-to-end).
+    """
+    scheme: Optional[QuantScheme] = None
+
+    @nn.compact
+    def __call__(self, y, r, qmode: str = "eval"):
+        from dlmc_quant_tpu.quant import chain as qchain
+        from dlmc_quant_tpu.quant import deploy as dp
+
+        cfg = self._resolve_cfg()
+        enabled = (cfg is not None and cfg.input.enable
+                   and not cfg.input.per_channel and not cfg.input.per_pixel)
+        if not enabled:
+            return nn.relu(qchain.materialize(y) + qchain.materialize(r))
+
+        aq = cfg.input
+        qmin, qmax = aq.qrange
+        scale = self.param("out_scale", nn.initializers.ones, ())
+        offset = self.variable("qstate", "out_offset", lambda: jnp.zeros(()))
+
+        if qmode == "calibrate":
+            v = nn.relu(qchain.materialize(y) + qchain.materialize(r))
+            s, off = _batch_observe(_sg(v), aq, None)
+            self.variable("qcal", "out_scale", lambda: s).value = s
+            offset.value = off
+            return v
+
+        if qmode == "deploy_prep":
+            s_x = jnp.reshape(scale, ())
+            o_x = jnp.reshape(offset.value, ())
+            shift = dp.act_shift(qmax)
+            lo = jnp.clip(jnp.round(-o_x / s_x), qmin, qmax) - shift
+            plan = {
+                "bq_inv": (1.0 / s_x).astype(jnp.float32),
+                "bq_qbias": (-o_x / s_x - shift).astype(jnp.float32),
+                "bq_lo": lo.astype(jnp.float32),
+                "bq_scale": s_x.astype(jnp.float32),
+                "bq_bias": (shift * s_x + o_x).astype(jnp.float32),
+            }
+            for name, val in plan.items():
+                self.variable("qint", name, lambda v=val: v).value = val
+            return nn.relu(qchain.materialize(y) + qchain.materialize(r))
+
+        if qmode == "intc" and self.has_variable("qint", "bq_inv"):
+            shift = dp.act_shift(qmax)
+            q = qchain.fold_sum_quantize(
+                [y, r],
+                self.get_variable("qint", "bq_inv"),
+                self.get_variable("qint", "bq_qbias"),
+                self.get_variable("qint", "bq_lo"),
+                qmax - shift)
+            return qchain.QuantizedTensor(
+                q, self.get_variable("qint", "bq_scale"),
+                self.get_variable("qint", "bq_bias"))
+
+        return nn.relu(qchain.materialize(y) + qchain.materialize(r))
 
 
 # ---------------------------------------------------------------------------
@@ -802,6 +906,33 @@ def merge_calibration(variables, qcal):
     return new
 
 
+_CAL_FN_CACHE: dict = {}
+
+
+def _calibration_fns(model, apply_kw_items):
+    """Jitted observe/calibrate passes, cached per (model, apply_kw).
+
+    ``jax.jit`` caches per *function object*; building a fresh lambda on
+    every :func:`calibrate` call (as earlier revisions did) forced a
+    retrace per call, which QAT periodic recalibration
+    (training/qat.py) pays every ``update_qparams_period`` steps.
+    flax Modules are hashable frozen dataclasses, so they key a plain
+    dict; jit's own arg-shape cache handles varying batch shapes.  The
+    reference gets this for free via persistent module buffers
+    (ref: trainer/quantization_aware_training_trainer.py:43-48).
+    """
+    key = (model, apply_kw_items)
+    if key not in _CAL_FN_CACHE:
+        apply_kw = dict(apply_kw_items)
+        observe_fn = jax.jit(lambda v, b: model.apply(
+            v, b, qmode="observe", mutable=["qstate"], **apply_kw)[1])
+        cal_fn = jax.jit(lambda v, b: model.apply(
+            v, b, qmode="calibrate", mutable=["qcal", "qstate"],
+            **apply_kw)[1])
+        _CAL_FN_CACHE[key] = (observe_fn, cal_fn)
+    return _CAL_FN_CACHE[key]
+
+
 def calibrate(model, variables, batches, observe_passes: int = 0, **apply_kw):
     """Explicit calibration: optional multi-batch 'observe' sweep, then a
     single 'calibrate' pass on the first batch; returns updated variables.
@@ -811,14 +942,12 @@ def calibrate(model, variables, batches, observe_passes: int = 0, **apply_kw):
     (ref: example/quantization/post_training_quantization.py:68-71).
     """
     batches = list(batches)
+    observe_fn, cal_fn = _calibration_fns(
+        model, tuple(sorted(apply_kw.items())))
     if observe_passes:
-        observe_fn = jax.jit(lambda v, b: model.apply(
-            v, b, qmode="observe", mutable=["qstate"], **apply_kw)[1])
         for b in batches[:observe_passes]:
             upd = observe_fn(variables, b)
             variables = {**variables, "qstate": upd["qstate"]}
-    cal_fn = jax.jit(lambda v, b: model.apply(
-        v, b, qmode="calibrate", mutable=["qcal", "qstate"], **apply_kw)[1])
     upd = cal_fn(variables, batches[0])
     variables = {**variables, "qstate": upd["qstate"]}
     return merge_calibration(variables, upd.get("qcal", {}))

@@ -131,6 +131,47 @@ class TestResNetDeploy:
                     / (jnp.linalg.norm(y_int) + 1e-9))
         assert y_c.shape == (4, 10) and rel < 2e-2
 
+    def test_residual_chain_stays_int8(self):
+        """A deploy-form block emits QuantizedTensor codes in intc —
+        the residual boundary itself is int8-resident, and a consumer
+        conv adapts its epilogue to the incoming grid (colsum path)."""
+        import flax
+        from dlmc_quant_tpu.models.resnet_cifar import BasicBlock
+        from dlmc_quant_tpu.quant.chain import QuantizedTensor
+
+        blk = BasicBlock(16, deploy=True, scheme=_scheme())
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 16))
+        v = flax.core.unfreeze(blk.init(jax.random.PRNGKey(1), x))
+        v = calibrate(blk, v, [x])
+        v = prepare_deploy(blk, v, sample_input=x)
+        out = blk.apply(v, x, qmode="intc")
+        assert isinstance(out, QuantizedTensor)
+        assert out.q.dtype == jnp.int8
+        # codes dequantize to ~ the f32 int-path output
+        ref = blk.apply(v, x, qmode="int")
+        got = materialize(out)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        step = float(out.scale)
+        assert err <= 1.5 * step     # within one code of the grid
+
+    def test_bottleneck_intc_matches_int(self):
+        """Bottleneck (downsample conv shortcut) chained vs plain int."""
+        import flax
+        from dlmc_quant_tpu.models.fuse import resnet_deploy
+
+        model = get_model("cifar_resnet50", num_classes=10,
+                          scheme=_scheme())
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        v = flax.core.unfreeze(jax.jit(model.init)(jax.random.PRNGKey(1), x))
+        dmodel, dv = resnet_deploy(model, v)
+        dv = calibrate(dmodel, dv, [x])
+        dv = prepare_deploy(dmodel, dv, sample_input=x)
+        y_int = dmodel.apply(dv, x, qmode="int")
+        y_c = dmodel.apply(dv, x, qmode="intc")
+        rel = float(jnp.linalg.norm(y_c - y_int)
+                    / (jnp.linalg.norm(y_int) + 1e-9))
+        assert y_c.shape == (2, 10) and rel < 5e-2
+
     def test_bottleneck_variant(self):
         import flax
         from dlmc_quant_tpu.models.fuse import resnet_deploy

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import flax
 import flax.linen as nn
 
 from dlmc_quant_tpu.quant.config import scheme_from_dict
@@ -260,3 +261,34 @@ class TestFSPTQFamily:
 
         g = jax.grad(loss)(v["params"])
         assert float(jnp.sum(jnp.abs(g["alpha"]))) > 0
+
+
+class TestCalibrationJitCache:
+    """calibrate() must not re-trace per call (QAT periodic
+    recalibration runs it every update_qparams_period steps)."""
+
+    def test_second_calibrate_reuses_jits(self):
+        from dlmc_quant_tpu.quant.layers import (_calibration_fns,
+                                                 calibrate)
+        d = {
+            "quantization_type": "FSPTQ",
+            "weight": {"enable": True, "type": "minmax_channel",
+                       "args": {"n_bits": 8, "signed": True}},
+            "input": {"enable": True, "type": "minmax_tensor",
+                      "args": {"n_bits": 8, "signed": False}},
+        }
+        model = QDense(features=4, scheme=scheme_from_dict(d))
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+        v = flax.core.unfreeze(model.init(jax.random.PRNGKey(1), x))
+
+        obs1, cal1 = _calibration_fns(model, ())
+        # first calibrate adds org_weight to qstate (new pytree
+        # structure) -> one extra legitimate trace; steady state is
+        # reached from the second call on
+        v = calibrate(model, v, [x], observe_passes=1)
+        v = calibrate(model, v, [x], observe_passes=1)
+        n_traces = cal1._cache_size()
+        v = calibrate(model, v, [x], observe_passes=1)
+        obs2, cal2 = _calibration_fns(model, ())
+        assert obs1 is obs2 and cal1 is cal2     # same jitted fns
+        assert cal1._cache_size() == n_traces    # no new trace

@@ -55,16 +55,24 @@ def time_dispatch(fn, *args, iters: int = 30, warmup: int = 3) -> float:
 def time_scan(step, *args, iters: int = 160) -> float:
     """Seconds per iteration of ``step(*args)`` chained in one program.
 
-    ``step`` must return an array; a scalar of it is xor/sum-carried so
-    the scan cannot be hoisted.  args are passed as jit arguments (never
-    captured — large captured constants blow up the remote-compile
-    request on the tunnel).
+    ``step`` must return an array.  The body is made genuinely
+    loop-variant by routing the first argument through an
+    ``optimization_barrier`` together with the loop carry: the barrier's
+    output depends on the carry, so XLA's while-loop invariant code
+    motion cannot hoist ``step`` out of the loop (a sum-carry of the
+    *result* alone does NOT prevent hoisting — the hoisted op's scalar
+    can be re-added each iteration; earlier revisions of this tool had
+    that defect).  Sanity-check any suspicious number by confirming
+    measured time scales ~linearly in ``iters``.  args are passed as
+    jit arguments (never captured — large captured constants blow up
+    the remote-compile request on the tunnel).
     """
     @jax.jit
     def loop(*a):
         def body(c, _):
-            y = step(*a)
-            return c + jnp.ravel(y)[0].astype(jnp.float32), ()
+            a0, cc = jax.lax.optimization_barrier((a[0], c))
+            y = step(a0, *a[1:])
+            return cc + jnp.ravel(y)[0].astype(jnp.float32), ()
         r, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return r
 
