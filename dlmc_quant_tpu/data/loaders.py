@@ -326,18 +326,24 @@ class ImageFolderDataset:
         pool = self._ensure_pool()
         aug = self.train_augment and rng is not None
         if aug:
-            # geometry params need image sizes: draw AFTER a cheap size
-            # probe (PIL reads only the header)
-            from PIL import Image
-            jobs = []
-            for i in idx:
+            # geometry params need image sizes — probe the header INSIDE
+            # the worker (PIL reads only the header; serially on the
+            # dispatcher thread it throttled the whole pipeline).  Each
+            # image gets its own spawned child generator so the sampled
+            # geometry is deterministic regardless of worker completion
+            # order.
+            child_rngs = rng.spawn(len(idx))
+
+            def job(i, r):
+                from PIL import Image
                 p = self.paths[i]
                 with Image.open(p) as im:
                     w, h = im.size
-                left, top, cw, ch = self._rrc_params(w, h, rng)
-                flip = bool(rng.random() < 0.5)
-                jobs.append((p, left, top, cw, ch, flip))
-            imgs = list(pool.map(lambda j: self._decode_train(*j), jobs))
+                left, top, cw, ch = self._rrc_params(w, h, r)
+                flip = bool(r.random() < 0.5)
+                return self._decode_train(p, left, top, cw, ch, flip)
+
+            imgs = list(pool.map(job, idx, child_rngs))
         else:
             imgs = list(pool.map(self._decode_eval,
                                  [self.paths[i] for i in idx]))

@@ -181,21 +181,17 @@ def repvgg_fuse(model, variables, example_input, rngs=None):
 
 _RESNET_BN_PARTNERS = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
                        "downsample": "downsample_bn"}
+_MOBILENET_BN_PARTNERS = {"expand": "expand_bn", "depthwise": "depthwise_bn",
+                          "project": "project_bn", "conv_stem": "bn_stem",
+                          "conv_head": "bn_head"}
 
 
-def resnet_deploy(model, variables, example_input=None, rngs=None):
-    """Train-form ResNet → BN-free deploy form (model, variables).
+def _fold_bn_deploy(model, variables, partners, example_input, rngs):
+    """Shared conv↔BN-partner fold into a ``deploy=True`` twin.
 
-    Folds every conv's partner BatchNorm into the conv's bias/kernel and
-    returns the ``deploy=True`` twin of the model, whose forward is pure
-    conv(+bias) → relu chains + residual adds — the graph the chained
-    int8 path (qmode='intc') wants.  Exact: same algebra as
-    :func:`fold_conv_bn` (ref: dlmc/utils/merge_bn.py:64-111); the
-    reference has no ResNet deploy conversion at all.
-
-    Works for CifarResNet / CifarResNetLarge (all resnet* factories);
-    partner discovery is by this zoo's fixed naming convention
-    (conv1↔bn1, conv2↔bn2, conv3↔bn3, downsample↔downsample_bn).
+    Exact: same algebra as :func:`fold_conv_bn`
+    (ref: dlmc/utils/merge_bn.py:64-111); the reference has no deploy
+    conversion for non-reparam nets at all.
     """
     import jax as _jax
 
@@ -203,8 +199,6 @@ def resnet_deploy(model, variables, example_input=None, rngs=None):
     variables = flax.core.unfreeze(variables)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
-    if example_input is None:
-        example_input = jnp.zeros((1, 32, 32, 3), jnp.float32)
     rngs = rngs or _jax.random.PRNGKey(0)
     template = flax.core.unfreeze(
         _jax.jit(deploy_model.init)(rngs, example_input))
@@ -212,7 +206,7 @@ def resnet_deploy(model, variables, example_input=None, rngs=None):
     def fold_level(p, s, tmpl):
         out = dict(tmpl)            # keeps template-only leaves (out_q)
         for k, v in p.items():
-            bn = _RESNET_BN_PARTNERS.get(k)
+            bn = partners.get(k)
             if bn is not None and bn in p:
                 kern, bias = fold_conv_bn(
                     v["kernel"], v.get("bias"),
@@ -230,7 +224,7 @@ def resnet_deploy(model, variables, example_input=None, rngs=None):
                           **{kk: vv for kk, vv in v.items()
                              if kk not in ("kernel", "bias")},
                           "kernel": kern, "bias": bias}
-            elif k in _RESNET_BN_PARTNERS.values():
+            elif k in partners.values():
                 continue                      # absorbed into its conv
             elif isinstance(v, dict):
                 out[k] = fold_level(v, s.get(k, {}), tmpl.get(k, {}))
@@ -256,3 +250,38 @@ def resnet_deploy(model, variables, example_input=None, rngs=None):
         if col not in ("params", "batch_stats"):
             new_vars[col] = deep_merge(new_vars.get(col, {}), tree)
     return deploy_model, new_vars
+
+
+def resnet_deploy(model, variables, example_input=None, rngs=None):
+    """Train-form ResNet → BN-free deploy form (model, variables).
+
+    The deploy twin's forward is pure conv(+bias) → relu chains plus
+    residual adds closed by block-output quantizers — the graph the
+    chained int8 path (qmode='intc') wants.  Works for CifarResNet /
+    CifarResNetLarge (all resnet* factories); partner discovery by this
+    zoo's fixed naming (conv1↔bn1, …, downsample↔downsample_bn).
+    NOTE: rerun ``calibrate`` + ``prepare_deploy`` after conversion —
+    scales calibrated on the train form do not describe the folded
+    weights (the reference pipeline refits after merge_bn too,
+    ref: example/quantization/FSPTQuant.py:65-80).
+    """
+    if example_input is None:
+        example_input = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    return _fold_bn_deploy(model, variables, _RESNET_BN_PARTNERS,
+                           example_input, rngs)
+
+
+def mobilenet_deploy(model, variables, example_input=None, rngs=None):
+    """Train-form MobileNetV2 → BN-free deploy form (model, variables).
+
+    Same fold as :func:`resnet_deploy` with the MobileNet naming
+    (expand/depthwise/project↔*_bn, conv_stem↔bn_stem,
+    conv_head↔bn_head); the deploy twin chains int8 through ReLU6 and
+    the linear-bottleneck residual adds (models/mobilenetv2.py).
+    Rerun ``calibrate`` + ``prepare_deploy`` after conversion.
+    """
+    if example_input is None:
+        size = 32 if getattr(model, "cifar", False) else 224
+        example_input = jnp.zeros((1, size, size, 3), jnp.float32)
+    return _fold_bn_deploy(model, variables, _MOBILENET_BN_PARTNERS,
+                           example_input, rngs)

@@ -4,6 +4,16 @@ Inverted-residual (expand 1×1 → depthwise 3×3 → project 1×1) blocks.
 Capability parity: ref: model/classification/cifar_mobilenet_v2.py (264
 LoC, CIFAR stride layout) and mobilenet_profit.py (ImageNet variant with
 ReLU activations for quantization friendliness).
+
+Every variant also has a **deploy form** (``deploy=True``): BatchNorms
+folded into conv biases ahead of time
+(:func:`dlmc_quant_tpu.models.fuse.mobilenet_deploy`), activations as
+chain-aware ReLU6/ReLU, and the linear-bottleneck residual adds closed
+by ``QBlockOutput(relu=False)`` — so ``qmode='intc'`` runs the network
+int8-resident end-to-end (the ReLU6 upper clamp folds into the
+consumer's quantize, quant/chain.py:qrelu6).  The reference runs BN at
+inference forever (ref: dlmc/utils/merge_bn.py exists but its deploy
+path stops at fp32 emulation).
 """
 
 from __future__ import annotations
@@ -14,8 +24,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from dlmc_quant_tpu.models.registry import register
+from dlmc_quant_tpu.quant.chain import materialize, qrelu, qrelu6
 from dlmc_quant_tpu.quant.config import QuantScheme
-from dlmc_quant_tpu.quant.layers import QConv, QDense
+from dlmc_quant_tpu.quant.layers import QBlockOutput, QConv, QDense
 
 
 def _bn(train, name):
@@ -36,28 +47,34 @@ class InvertedResidual(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     expand_ratio: int = 6
     relu6: bool = True
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, qmode: str = "eval"):
-        act = (lambda v: jnp.minimum(nn.relu(v), 6.0)) if self.relu6 \
-            else nn.relu
+        dep = self.deploy
+        act = qrelu6 if self.relu6 else qrelu
         in_features = x.shape[-1]
         hidden = in_features * self.expand_ratio
         y = x
         if self.expand_ratio != 1:
-            y = QConv(hidden, (1, 1), use_bias=False, name="expand",
+            y = QConv(hidden, (1, 1), use_bias=dep, name="expand",
                       scheme=self.scheme)(y, qmode=qmode)
-            y = act(_bn(train, "expand_bn")(y))
+            y = act(y if dep else _bn(train, "expand_bn")(y))
         y = QConv(hidden, (3, 3), self.strides, feature_group_count=hidden,
-                  use_bias=False, name="depthwise",
+                  use_bias=dep, name="depthwise",
                   scheme=self.scheme)(y, qmode=qmode)
-        y = act(_bn(train, "depthwise_bn")(y))
-        y = QConv(self.features, (1, 1), use_bias=False, name="project",
+        y = act(y if dep else _bn(train, "depthwise_bn")(y))
+        y = QConv(self.features, (1, 1), use_bias=dep, name="project",
                   scheme=self.scheme)(y, qmode=qmode)
-        y = _bn(train, "project_bn")(y)
+        if not dep:
+            y = _bn(train, "project_bn")(y)
         if self.strides == (1, 1) and in_features == self.features:
-            y = y + x
+            if dep:
+                # linear bottleneck: residual add with NO activation
+                return QBlockOutput(name="out_q", relu=False,
+                                    scheme=self.scheme)(y, x, qmode=qmode)
+            return y + x
         return y
 
 
@@ -66,6 +83,7 @@ class MobileNetV2(nn.Module):
     width_mult: float = 1.0
     cifar: bool = False         # stride-1 stem + first stage (32×32 inputs)
     relu6: bool = True
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
 
     # (expansion, channels, repeats, stride)
@@ -74,13 +92,15 @@ class MobileNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, qmode: str = "eval"):
-        act = (lambda v: jnp.minimum(nn.relu(v), 6.0)) if self.relu6 \
-            else nn.relu
+        dep = self.deploy
+        if not dep and qmode == "intc":
+            qmode = "int"       # chaining needs the BN-folded form
+        act = qrelu6 if self.relu6 else qrelu
         stem = _make_divisible(32 * self.width_mult)
         stem_stride = (1, 1) if self.cifar else (2, 2)
-        x = QConv(stem, (3, 3), stem_stride, use_bias=False,
+        x = QConv(stem, (3, 3), stem_stride, use_bias=dep,
                   name="conv_stem", scheme=self.scheme)(x, qmode=qmode)
-        x = act(_bn(train, "bn_stem")(x))
+        x = act(x if dep else _bn(train, "bn_stem")(x))
         for si, (t, c, n, s) in enumerate(self.CFG):
             c = _make_divisible(c * self.width_mult)
             if self.cifar and si == 1:
@@ -89,15 +109,15 @@ class MobileNetV2(nn.Module):
                 strides = (s, s) if bi == 0 else (1, 1)
                 x = InvertedResidual(
                     c, strides, expand_ratio=t, relu6=self.relu6,
-                    name=f"block{si}_{bi}",
+                    deploy=dep, name=f"block{si}_{bi}",
                     scheme=self.scheme)(x, train=train, qmode=qmode)
         head = _make_divisible(1280 * max(1.0, self.width_mult))
-        x = QConv(head, (1, 1), use_bias=False, name="conv_head",
+        x = QConv(head, (1, 1), use_bias=dep, name="conv_head",
                   scheme=self.scheme)(x, qmode=qmode)
-        x = act(_bn(train, "bn_head")(x))
-        x = jnp.mean(x, axis=(1, 2))
-        return QDense(self.num_classes, name="linear",
-                      scheme=self.scheme)(x, qmode=qmode)
+        x = act(x if dep else _bn(train, "bn_head")(x))
+        x = jnp.mean(materialize(x), axis=(1, 2))
+        return materialize(QDense(self.num_classes, name="linear",
+                                  scheme=self.scheme)(x, qmode=qmode))
 
 
 @register("cifar_mobilenet_v2")

@@ -60,11 +60,13 @@ from flax import struct
 
 @struct.dataclass
 class DeferredEpilogue:
-    """Lazy layer output: real value = ``relu?(acc·scale + bias)``."""
+    """Lazy layer output: real value = ``relu?(acc·scale + bias)``,
+    optionally upper-clamped at ``clamp_hi`` (ReLU6 nets)."""
     acc: jnp.ndarray                     # int32 accumulator
     scale: jnp.ndarray                   # per-channel f32 (broadcastable)
     bias: jnp.ndarray                    # per-channel f32 (broadcastable)
     relu: bool = struct.field(pytree_node=False, default=False)
+    clamp_hi: Optional[float] = struct.field(pytree_node=False, default=None)
 
     @property
     def shape(self):
@@ -112,6 +114,24 @@ def qrelu(x):
     return jax.nn.relu(x)
 
 
+def qrelu6(x):
+    """ReLU6 (``min(max(x, 0), 6)``) that stays lazy on the chain.
+
+    On a :class:`DeferredEpilogue` the upper clamp folds into the
+    consumer's quantize (rounding is monotone, so
+    ``round(min(v, 6)·a + b) = min(round(v·a + b), round(6·a + b))``
+    for a > 0 — see :func:`fold_quantize`); on codes it clamps at the
+    grid code of 6.
+    """
+    if isinstance(x, DeferredEpilogue):
+        return x.replace(relu=True, clamp_hi=6.0)
+    if isinstance(x, QuantizedTensor):
+        hi = jnp.clip(jnp.round((6.0 - x.bias) / x.scale),
+                      -128, 127).astype(jnp.int8)
+        return x.replace(q=jnp.clip(x.q, x.zero_code(), hi))
+    return jnp.minimum(jax.nn.relu(x), 6.0)
+
+
 def materialize(x) -> jnp.ndarray:
     """Close a chain: f32 value of a deferred output (no-op on arrays)."""
     if isinstance(x, QuantizedTensor):
@@ -119,7 +139,11 @@ def materialize(x) -> jnp.ndarray:
     if not isinstance(x, DeferredEpilogue):
         return x
     y = x.acc.astype(jnp.float32) * x.scale + x.bias
-    return jnp.maximum(y, 0.0) if x.relu else y
+    if x.relu:
+        y = jnp.maximum(y, 0.0)
+    if x.clamp_hi is not None:
+        y = jnp.minimum(y, x.clamp_hi)
+    return y
 
 
 def fold_quantize(x: DeferredEpilogue, inv_s, qbias, qmin_s: int,
@@ -134,7 +158,14 @@ def fold_quantize(x: DeferredEpilogue, inv_s, qbias, qmin_s: int,
     lo = qmin_s
     if x.relu:
         lo = jnp.clip(jnp.round(qbias), qmin_s, qmax_s)
-    q = jnp.clip(jnp.round(x.acc.astype(jnp.float32) * a + b), lo, qmax_s)
+    hi = qmax_s
+    if x.clamp_hi is not None:
+        # upper clamp (ReLU6): rounding is monotone, so clamping the
+        # *codes* at round(clamp_hi·inv + qbias) equals clamping the
+        # values first (inv_s > 0)
+        hi = jnp.clip(jnp.round(x.clamp_hi * inv_s + qbias),
+                      qmin_s, qmax_s)
+    q = jnp.clip(jnp.round(x.acc.astype(jnp.float32) * a + b), lo, hi)
     return q.astype(jnp.int8)
 
 
@@ -158,7 +189,7 @@ def fold_sum_quantize(terms, inv_s, qbias, lo, qmax_s: int) -> jnp.ndarray:
     total = jnp.float32(qbias)
     for t in terms:
         if isinstance(t, DeferredEpilogue):
-            if t.relu:
+            if t.relu or t.clamp_hi is not None:
                 total = total + materialize(t) * inv_s
             else:
                 total = (total + t.acc.astype(jnp.float32) * (t.scale * inv_s)

@@ -827,8 +827,18 @@ class QBlockOutput(nn.Module, _QuantOps):
     modules/base.py:82-129).  ``deploy_prep`` then freezes the grid
     into a ``qint`` plan.  The reference has no analogue (its deploy
     path emulates in fp32 end-to-end).
+
+    ``relu=False`` for linear-bottleneck residuals (MobileNetV2: the
+    add has no activation) — the fold's lower bound is then the grid
+    minimum, not the code of 0.
     """
     scheme: Optional[QuantScheme] = None
+    relu: bool = True
+
+    def _sum(self, y, r):
+        from dlmc_quant_tpu.quant import chain as qchain
+        v = qchain.materialize(y) + qchain.materialize(r)
+        return nn.relu(v) if self.relu else v
 
     @nn.compact
     def __call__(self, y, r, qmode: str = "eval"):
@@ -839,7 +849,7 @@ class QBlockOutput(nn.Module, _QuantOps):
         enabled = (cfg is not None and cfg.input.enable
                    and not cfg.input.per_channel and not cfg.input.per_pixel)
         if not enabled:
-            return nn.relu(qchain.materialize(y) + qchain.materialize(r))
+            return self._sum(y, r)
 
         aq = cfg.input
         qmin, qmax = aq.qrange
@@ -847,7 +857,7 @@ class QBlockOutput(nn.Module, _QuantOps):
         offset = self.variable("qstate", "out_offset", lambda: jnp.zeros(()))
 
         if qmode == "calibrate":
-            v = nn.relu(qchain.materialize(y) + qchain.materialize(r))
+            v = self._sum(y, r)
             s, off = _batch_observe(_sg(v), aq, None)
             self.variable("qcal", "out_scale", lambda: s).value = s
             offset.value = off
@@ -857,7 +867,10 @@ class QBlockOutput(nn.Module, _QuantOps):
             s_x = jnp.reshape(scale, ())
             o_x = jnp.reshape(offset.value, ())
             shift = dp.act_shift(qmax)
-            lo = jnp.clip(jnp.round(-o_x / s_x), qmin, qmax) - shift
+            if self.relu:
+                lo = jnp.clip(jnp.round(-o_x / s_x), qmin, qmax) - shift
+            else:
+                lo = jnp.float32(qmin - shift)
             plan = {
                 "bq_inv": (1.0 / s_x).astype(jnp.float32),
                 "bq_qbias": (-o_x / s_x - shift).astype(jnp.float32),
@@ -867,7 +880,7 @@ class QBlockOutput(nn.Module, _QuantOps):
             }
             for name, val in plan.items():
                 self.variable("qint", name, lambda v=val: v).value = val
-            return nn.relu(qchain.materialize(y) + qchain.materialize(r))
+            return self._sum(y, r)
 
         if qmode == "intc" and self.has_variable("qint", "bq_inv"):
             shift = dp.act_shift(qmax)
@@ -881,7 +894,7 @@ class QBlockOutput(nn.Module, _QuantOps):
                 q, self.get_variable("qint", "bq_scale"),
                 self.get_variable("qint", "bq_bias"))
 
-        return nn.relu(qchain.materialize(y) + qchain.materialize(r))
+        return self._sum(y, r)
 
 
 # ---------------------------------------------------------------------------

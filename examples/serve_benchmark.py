@@ -18,10 +18,18 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# virtual-mesh mode: DLMCQ_CPU_DEVICES=8 runs on 8 virtual CPU devices
+# (set XLA_FLAGS=--xla_force_host_platform_device_count=8 too) — the
+# JAX_PLATFORMS env var alone is overridden by the axon plugin here
+if os.environ.get("DLMCQ_CPU_DEVICES"):
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -49,8 +57,9 @@ def main():
         "input": {"enable": True, "type": "minmax_tensor",
                   "args": {"n_bits": a_bits, "signed": False}},
     })
-    kwargs = {"deploy": True} if model_name.startswith(
-        ("RepVGG", "MobileOne")) else {}
+    kwargs = ({"deploy": True}
+              if model_name.lower().startswith(("repvgg", "mobileone"))
+              else {})
     model = get_model(model_name, scheme=scheme, **kwargs)
     x = jax.random.uniform(jax.random.PRNGKey(0), (8,) + image)
     v = jax.jit(model.init)(jax.random.PRNGKey(1), x)

@@ -172,6 +172,62 @@ class TestResNetDeploy:
                     / (jnp.linalg.norm(y_int) + 1e-9))
         assert y_c.shape == (2, 10) and rel < 5e-2
 
+    def test_mobilenet_deploy_fold_and_intc(self):
+        """MobileNetV2 deploy twin: BN fold exact in fp; the chained
+        int path (ReLU6 fold + linear-bottleneck residual QBlockOutput)
+        tracks plain int."""
+        import flax
+        from dlmc_quant_tpu.models.fuse import mobilenet_deploy
+
+        model = get_model("cifar_mobilenet_v2", num_classes=10,
+                          width_mult=0.5, scheme=_scheme())
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        v = flax.core.unfreeze(jax.jit(model.init)(jax.random.PRNGKey(1), x))
+        v["batch_stats"] = jax.tree_util.tree_map(
+            lambda a: a + 0.1 * jax.random.uniform(
+                jax.random.PRNGKey(2), a.shape), v["batch_stats"])
+
+        dmodel, dv = mobilenet_deploy(model, v)
+        np.testing.assert_allclose(
+            np.asarray(dmodel.apply(dv, x, qmode="fp")),
+            np.asarray(model.apply(v, x, qmode="fp")),
+            rtol=2e-4, atol=2e-5)
+        assert "batch_stats" not in dv
+
+        dv = calibrate(dmodel, dv, [x])
+        from dlmc_quant_tpu.quant.deploy import prepare_deploy as prep
+        dv = prep(dmodel, dv, sample_input=x)
+        # intc re-samples the same quantization noise as int (block
+        # outputs land on their own grids), so compare each against the
+        # fp teacher: the chained path must be no noisier than plain int
+        y_fp = dmodel.apply(dv, x, qmode="fp")
+        y_int = dmodel.apply(dv, x, qmode="int")
+        y_c = dmodel.apply(dv, x, qmode="intc")
+        nfp = jnp.linalg.norm(y_fp) + 1e-9
+        rel_int = float(jnp.linalg.norm(y_int - y_fp) / nfp)
+        rel_c = float(jnp.linalg.norm(y_c - y_fp) / nfp)
+        assert y_c.shape == (2, 10)
+        assert rel_c < max(1.5 * rel_int, 0.02), (rel_c, rel_int)
+
+    def test_qrelu6_fold_matches_eager(self):
+        """ReLU6 upper clamp folded into the quantize == clamp-then-
+        quantize, bit-for-bit on power-of-2 affines."""
+        from dlmc_quant_tpu.quant.chain import qrelu6
+
+        acc = jax.random.randint(jax.random.PRNGKey(3), (32, 16),
+                                 -(2 ** 16), 2 ** 16, jnp.int32)
+        ps = jnp.full((1, 16), 2.0 ** -12)
+        pb = jnp.zeros((1, 16))
+        d = qrelu6(DeferredEpilogue(acc, ps, pb))
+        assert d.relu and d.clamp_hi == 6.0
+        s_x, o_x = jnp.float32(2.0 ** -6), jnp.float32(0.0)
+        inv_s, qb = 1.0 / s_x, -o_x / s_x - 128.0
+        got = fold_quantize(d, inv_s, qb, -128, 127)
+        y = jnp.minimum(jnp.maximum(
+            acc.astype(jnp.float32) * ps + pb, 0.0), 6.0)
+        want, _ = act_to_int8(y, s_x, o_x, 0, 255, inv_s_x=inv_s, qbias=qb)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_bottleneck_variant(self):
         import flax
         from dlmc_quant_tpu.models.fuse import resnet_deploy

@@ -5,11 +5,17 @@ Produces the north-star accuracy evidence (BASELINE.json: top-1 Δ ≤ 0.5%
 at W8A8/W4A8 via the RepAPQ/FSPTQ path, mirroring the reference's
 fsptq_trainer validation — ref: trainer/fsptq_trainer.py:104-132):
 
-  1. train cifar_resnet20 fp32 from scratch,
+Section 1 (cifar_resnet20, BASELINE config #1's model family):
+  1. train fp32 from scratch,
   2. PTQ to W8A8 (per-channel weights, minmax activations) + FSPTQ
      block reconstruction,
-  3. PTQ to W4A8 the same way,
-  4. evaluate all three on the held-out split, append RESULTS.md.
+  3. PTQ to W4A8 two ways: plain rounding and AdaRound soft rounding,
+  4. evaluate on the held-out split, append RESULTS.md.
+
+Section 2 (RepVGG_A0 — the flagship RepAPQ path, BASELINE config #3):
+  fp32 train (train form, 3-branch blocks) → repvgg_fuse to deploy form
+  (exact) → calibrate → FSPTQ reconstruction at W8A8 → top-1 vs the
+  fused fp32 teacher.  ref: example/quantization/FSPTQuant.py:35-108.
 
 Dataset: real CIFAR-10 when the standard python-pickle batches exist
 under ``--data-dir`` (data/cifar-10-batches-py); otherwise the
@@ -40,6 +46,7 @@ import optax  # noqa: E402
 
 from dlmc_quant_tpu.data.loaders import CIFAR10  # noqa: E402
 from dlmc_quant_tpu.models import get_model  # noqa: E402
+from dlmc_quant_tpu.models.fuse import repvgg_fuse  # noqa: E402
 from dlmc_quant_tpu.quant.config import scheme_from_dict  # noqa: E402
 from dlmc_quant_tpu.quant.deploy import prepare_deploy  # noqa: E402
 from dlmc_quant_tpu.quant.layers import calibrate  # noqa: E402
@@ -51,25 +58,46 @@ from dlmc_quant_tpu.training.schedulers import CosineDecayLR  # noqa: E402
 from dlmc_quant_tpu.training.trainer import Trainer  # noqa: E402
 
 
-def w_scheme(bits: int):
+def w_scheme(bits: int, recon=None):
+    wargs = {"enable": True, "type": "minmax_channel",
+             "args": {"n_bits": bits, "signed": True}}
+    if recon:
+        wargs["recon_type"] = recon
     return scheme_from_dict({
         "quantization_type": "FSPTQ",
-        "weight": {"enable": True, "type": "minmax_channel",
-                   "args": {"n_bits": bits, "signed": True}},
+        "weight": wargs,
         "input": {"enable": True, "type": "minmax_tensor",
                   "args": {"n_bits": 8, "signed": False}},
         # first conv + head stay 8-bit even at W4 (standard practice,
         # also what the reference's override grammar is for)
         "override_options": [
-            {"layers": ["conv1$", "linear$"],
-             "options": {"weight": {"args": {"n_bits": 8}}}},
+            {"layers": ["conv1$", r"stage0\.", "linear$"],
+             "options": {"weight": {"args": {"n_bits": 8},
+                                    **({"recon_type": None}
+                                       if recon else {})}}},
         ] if bits < 8 else [],
     })
 
 
+def train_fp(model, train_l, eval_l, epochs: int, lr: float = 0.1):
+    x0 = jnp.asarray(next(iter(train_l))[0])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+    steps = len(train_l) * epochs
+    sched = CosineDecayLR(lr, total_steps=steps, warmup_steps=len(train_l))
+    tx = optax.chain(optax.add_decayed_weights(1e-4),
+                     optax.sgd(sched, momentum=0.9))
+    trainer = Trainer(model, variables, tx, sched, train_l, eval_l,
+                      config={"epochs": epochs,
+                              "monitor": "max val_accuracy"},
+                      loss="cross_entropy", metrics=("accuracy",))
+    t0 = time.time()
+    trainer.train()
+    return flax.core.unfreeze(trainer.state.variables()), time.time() - t0
+
+
 def ptq(model, fp_vars, cal_batches, eval_loader, bits, loss_fn, metrics,
-        recon_iters):
-    qmodel = dataclasses.replace(model, scheme=w_scheme(bits))
+        recon_iters, recon=None, fp_model=None):
+    qmodel = dataclasses.replace(model, scheme=w_scheme(bits, recon))
     qvars = flax.core.unfreeze(jax.jit(qmodel.init)(
         jax.random.PRNGKey(0), cal_batches[0]))
     flatq = flax.traverse_util.flatten_dict(qvars["params"])
@@ -81,14 +109,25 @@ def ptq(model, fp_vars, cal_batches, eval_loader, bits, loss_fn, metrics,
             qvars[col] = fp_vars[col]
     qvars = calibrate(qmodel, qvars, cal_batches,
                       observe_passes=len(cal_batches))
-    tr = FSPTQTrainer(qmodel, qvars, model, fp_vars, cal_batches,
-                      iters=recon_iters, disable_first_act_quant=True)
+    tr = FSPTQTrainer(qmodel, qvars, fp_model or model, fp_vars,
+                      cal_batches, iters=recon_iters,
+                      disable_first_act_quant=True)
     out = tr.train()
     qvars = out["variables"]
     qmodel = tr.model
     m = evaluate(qmodel, qvars, eval_loader, loss_fn, metrics,
                  qmode="eval")
     return m, qmodel, qvars
+
+
+def cal_set(train_l, n: int = 1024):
+    batches, seen = [], 0
+    for x, _ in train_l:
+        batches.append(jnp.asarray(x))
+        seen += len(x)
+        if seen >= n:
+            break
+    return batches
 
 
 def main():
@@ -98,79 +137,108 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--recon-iters", type=int, default=800)
     ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--skip-resnet", action="store_true")
+    ap.add_argument("--skip-repvgg", action="store_true")
     args = ap.parse_args()
 
     real = (Path(args.data_dir) / "cifar-10-batches-py").is_dir()
     train_l = CIFAR10(args.data_dir, batch_size=args.batch, training=True)
     eval_l = CIFAR10(args.data_dir, batch_size=args.batch, training=False)
-
-    model = get_model("cifar_resnet20", num_classes=10)
-    x0 = jnp.asarray(next(iter(train_l))[0])
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
-
-    steps = len(train_l) * args.epochs
-    sched = CosineDecayLR(0.1, total_steps=steps, warmup_steps=len(train_l))
-    tx = optax.chain(optax.add_decayed_weights(1e-4),
-                     optax.sgd(sched, momentum=0.9))
-    trainer = Trainer(model, variables, tx, sched, train_l, eval_l,
-                      config={"epochs": args.epochs,
-                              "monitor": "max val_accuracy"},
-                      loss="cross_entropy", metrics=("accuracy",))
-    t0 = time.time()
-    trainer.train()
-    train_time = time.time() - t0
-    fp_vars = flax.core.unfreeze(trainer.state.variables())
-
     loss_fn = get_loss("cross_entropy")
     metrics = {"accuracy": get_metric("accuracy")}
-    fp_m = evaluate(model, fp_vars, eval_l, loss_fn, metrics, qmode="fp")
-
-    cal_batches = []
-    n = 0
-    for x, _ in train_l:
-        cal_batches.append(jnp.asarray(x))
-        n += len(x)
-        if n >= 1024:
-            break
-
-    m8, _, _ = ptq(model, fp_vars, cal_batches, eval_l, 8, loss_fn,
-                   metrics, args.recon_iters)
-    m4, _, _ = ptq(model, fp_vars, cal_batches, eval_l, 4, loss_fn,
-                   metrics, args.recon_iters)
-
-    fp_acc = fp_m["accuracy"] * 100
-    a8, a4 = m8["accuracy"] * 100, m4["accuracy"] * 100
     stamp = time.strftime("%Y-%m-%d %H:%M")
-    lines = f"""
+    dataset_line = ("real CIFAR-10" if real else
+                    "synthetic CIFAR-10-shaped fallback (zero-egress"
+                    " container: no real dataset or pretrained checkpoint"
+                    " is fetchable; identical pipeline, shapes and"
+                    " protocol — mount data/cifar-10-batches-py and rerun"
+                    " for real-data numbers)")
+    sections = []
+
+    if not args.skip_resnet:
+        model = get_model("cifar_resnet20", num_classes=10)
+        fp_vars, train_time = train_fp(model, train_l, eval_l, args.epochs)
+        fp_m = evaluate(model, fp_vars, eval_l, loss_fn, metrics,
+                        qmode="fp")
+        cal = cal_set(train_l)
+        m8, _, _ = ptq(model, fp_vars, cal, eval_l, 8, loss_fn, metrics,
+                       args.recon_iters)
+        m4, _, _ = ptq(model, fp_vars, cal, eval_l, 4, loss_fn, metrics,
+                       args.recon_iters)
+        m4a, _, _ = ptq(model, fp_vars, cal, eval_l, 4, loss_fn, metrics,
+                        args.recon_iters, recon="adaround")
+        fp_acc = fp_m["accuracy"] * 100
+        a8, a4 = m8["accuracy"] * 100, m4["accuracy"] * 100
+        a4a = m4a["accuracy"] * 100
+        sections.append(f"""
 ## cifar_resnet20 — fp32 vs RepAPQ/FSPTQ PTQ ({stamp})
 
-Dataset: {"real CIFAR-10" if real else
-          "synthetic CIFAR-10-shaped fallback (zero-egress container: no"
-          " real dataset or pretrained checkpoint is fetchable; identical"
-          " pipeline, shapes and protocol — mount"
-          " data/cifar-10-batches-py and rerun for real-data numbers)"}.
+Dataset: {dataset_line}.
 Backend: {jax.default_backend()} ({jax.devices()[0].device_kind}).
 Protocol: {args.epochs}-epoch fp32 train (SGD+momentum, cosine decay,
 1-epoch warmup, wd 1e-4, {train_time:.0f}s) → 1024-image calibration →
 FSPTQ block reconstruction ({args.recon_iters} iters/block,
 first-conv act quant off) → top-1 on the held-out split.
 Config: W8A8 = per-channel minmax weights + per-tensor unsigned minmax
-activations; W4A8 = same with 4-bit weights (first conv + head kept 8-bit).
+activations; W4A8 = same with 4-bit weights (first conv + head kept
+8-bit); the AdaRound row trains soft rounding during reconstruction
+(quant/layers.py ADAROUND_*; ref: FSPTQuant/base.py:60-79).
 
 | model | top-1 % | Δ vs fp32 |
 |---|---|---|
 | fp32 | {fp_acc:.2f} | — |
 | W8A8 FSPTQ | {a8:.2f} | {a8 - fp_acc:+.2f} |
-| W4A8 FSPTQ | {a4:.2f} | {a4 - fp_acc:+.2f} |
+| W4A8 FSPTQ (round) | {a4:.2f} | {a4 - fp_acc:+.2f} |
+| W4A8 FSPTQ (AdaRound) | {a4a:.2f} | {a4a - fp_acc:+.2f} |
 
 North-star criterion: W8A8 Δ ≥ -0.50 → {"**met**" if a8 - fp_acc >= -0.5
                                          else "**not met**"}.
-"""
+""")
+
+    if not args.skip_repvgg:
+        model = get_model("RepVGG_A0", num_classes=10)
+        fp_vars, train_time = train_fp(model, train_l, eval_l, args.epochs)
+        x0 = jnp.asarray(next(iter(train_l))[0])
+        dmodel, dvars = repvgg_fuse(model, fp_vars, x0)
+        fp_m = evaluate(dmodel, dvars, eval_l, loss_fn, metrics,
+                        qmode="fp")
+        cal = cal_set(train_l)
+        m8, qm, qv = ptq(dmodel, dvars, cal, eval_l, 8, loss_fn, metrics,
+                         args.recon_iters)
+        # the serve path: real-int8 execution of the reconstructed model
+        qv = prepare_deploy(qm, qv, sample_input=cal[0][:8])
+        m8i = evaluate(qm, qv, eval_l, loss_fn, metrics, qmode="int")
+        fp_acc = fp_m["accuracy"] * 100
+        a8, a8i = m8["accuracy"] * 100, m8i["accuracy"] * 100
+        sections.append(f"""
+## RepVGG_A0 — branch-fuse → RepAPQ/FSPTQ W8A8 (flagship path, {stamp})
+
+Dataset: {dataset_line}.  Input 32×32 (CIFAR-scale exercise of the
+224-native architecture).
+Protocol: {args.epochs}-epoch fp32 train of the 3-branch train form
+({train_time:.0f}s) → repvgg_fuse to the single-conv deploy form
+(exact, models/fuse.py) → 1024-image calibration → FSPTQ block
+reconstruction ({args.recon_iters} iters/block) → top-1.
+ref pipeline: example/quantization/FSPTQuant.py:35-108.
+The last row runs the SAME quantized model through the real int8
+execution path (qmode='int', quant/deploy.py) instead of fake-quant —
+the serve configuration.
+
+| model | top-1 % | Δ vs fused fp32 |
+|---|---|---|
+| fp32 (fused deploy form) | {fp_acc:.2f} | — |
+| W8A8 FSPTQ (fake-quant eval) | {a8:.2f} | {a8 - fp_acc:+.2f} |
+| W8A8 FSPTQ (real int8 execution) | {a8i:.2f} | {a8i - fp_acc:+.2f} |
+
+North-star criterion: W8A8 Δ ≥ -0.50 → {"**met**" if a8 - fp_acc >= -0.5
+                                         else "**not met**"}.
+""")
+
     out = Path(args.out)
     header = "# RESULTS — measured accuracy evidence\n"
     prev = out.read_text() if out.exists() else header
-    out.write_text(prev + lines)
-    print(lines)
+    out.write_text(prev + "".join(sections))
+    print("".join(sections))
     print(f"appended to {out}")
 
 
