@@ -52,24 +52,26 @@ class MBConv(nn.Module):
     expand_ratio: int = 6
     se_ratio: float = 0.25
     drop_rate: float = 0.0
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
 
     @nn.compact
     def __call__(self, x, train=False, qmode="eval"):
+        dep = self.deploy
         swish = nn.swish
         in_features = x.shape[-1]
         hidden = in_features * self.expand_ratio
         y = x
         if self.expand_ratio != 1:
-            y = QConv(hidden, (1, 1), use_bias=False, name="expand",
+            y = QConv(hidden, (1, 1), use_bias=dep, name="expand",
                       scheme=self.scheme)(y, qmode=qmode)
-            y = swish(_bn(train, "expand_bn")(y))
+            y = swish(y if dep else _bn(train, "expand_bn")(y))
         k = self.kernel_size
         y = QConv(hidden, (k, k), self.strides,
                   padding=[(k // 2, k // 2)] * 2, feature_group_count=hidden,
-                  use_bias=False, name="depthwise",
+                  use_bias=dep, name="depthwise",
                   scheme=self.scheme)(y, qmode=qmode)
-        y = swish(_bn(train, "depthwise_bn")(y))
+        y = swish(y if dep else _bn(train, "depthwise_bn")(y))
         if self.se_ratio > 0:
             red = max(1, int(in_features * self.se_ratio))
             s = jnp.mean(y, axis=(1, 2))
@@ -78,9 +80,10 @@ class MBConv(nn.Module):
             s = nn.sigmoid(QDense(hidden, name="se_expand",
                                   scheme=self.scheme)(s, qmode=qmode))
             y = y * s[:, None, None, :]
-        y = QConv(self.features, (1, 1), use_bias=False, name="project",
+        y = QConv(self.features, (1, 1), use_bias=dep, name="project",
                   scheme=self.scheme)(y, qmode=qmode)
-        y = _bn(train, "project_bn")(y)
+        if not dep:
+            y = _bn(train, "project_bn")(y)
         if self.strides == (1, 1) and in_features == self.features:
             if train and self.drop_rate > 0:
                 y = _drop_connect(y, self.drop_rate, not train,
@@ -95,7 +98,8 @@ class EfficientNet(nn.Module):
     dropout: float = 0.2
     num_classes: int = 1000
     cifar: bool = False
-    scheme: Optional[QuantScheme] = None
+    deploy: bool = False           # BN-folded twin (swish keeps the int
+    scheme: Optional[QuantScheme] = None   # path un-chained: intc->int)
 
     # (expand, channels, repeats, stride, kernel)
     CFG = ((1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5),
@@ -104,11 +108,14 @@ class EfficientNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False, qmode="eval"):
+        dep = self.deploy
+        if qmode == "intc":
+            qmode = "int"       # swish closes every chain anyway
         stem = _round_filters(32, self.width_mult)
         stride = (1, 1) if self.cifar else (2, 2)
-        x = QConv(stem, (3, 3), stride, use_bias=False, name="conv_stem",
+        x = QConv(stem, (3, 3), stride, use_bias=dep, name="conv_stem",
                   scheme=self.scheme)(x, qmode=qmode)
-        x = nn.swish(_bn(train, "bn_stem")(x))
+        x = nn.swish(x if dep else _bn(train, "bn_stem")(x))
         total_blocks = sum(_round_repeats(r, self.depth_mult)
                            for (_, _, r, _, _) in self.CFG)
         bi = 0
@@ -121,13 +128,14 @@ class EfficientNet(nn.Module):
                 strides = (s, s) if j == 0 else (1, 1)
                 drop = self.dropout * bi / max(total_blocks, 1)
                 x = MBConv(c, k, strides, expand_ratio=t,
-                           drop_rate=drop, name=f"block{si}_{j}",
+                           drop_rate=drop, deploy=dep,
+                           name=f"block{si}_{j}",
                            scheme=self.scheme)(x, train=train, qmode=qmode)
                 bi += 1
         head = _round_filters(1280, self.width_mult)
-        x = QConv(head, (1, 1), use_bias=False, name="conv_head",
+        x = QConv(head, (1, 1), use_bias=dep, name="conv_head",
                   scheme=self.scheme)(x, qmode=qmode)
-        x = nn.swish(_bn(train, "bn_head")(x))
+        x = nn.swish(x if dep else _bn(train, "bn_head")(x))
         x = jnp.mean(x, axis=(1, 2))
         if train and self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -184,9 +184,14 @@ _RESNET_BN_PARTNERS = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
 _MOBILENET_BN_PARTNERS = {"expand": "expand_bn", "depthwise": "depthwise_bn",
                           "project": "project_bn", "conv_stem": "bn_stem",
                           "conv_head": "bn_head"}
+_GHOSTNET_BN_PARTNERS = {"primary": "primary_bn", "cheap": "cheap_bn",
+                         "dw": "dw_bn", "shortcut_dw": "shortcut_dw_bn",
+                         "shortcut_pw": "shortcut_pw_bn",
+                         "conv_stem": "bn_stem", "conv_head": "bn_head"}
 
 
-def _fold_bn_deploy(model, variables, partners, example_input, rngs):
+def _fold_bn_deploy(model, variables, partners, example_input, rngs,
+                    eps: float = BN_EPS):
     """Shared conv↔BN-partner fold into a ``deploy=True`` twin.
 
     Exact: same algebra as :func:`fold_conv_bn`
@@ -211,7 +216,7 @@ def _fold_bn_deploy(model, variables, partners, example_input, rngs):
                 kern, bias = fold_conv_bn(
                     v["kernel"], v.get("bias"),
                     p[bn]["scale"], p[bn]["bias"],
-                    s[bn]["mean"], s[bn]["var"])
+                    s[bn]["mean"], s[bn]["var"], eps)
                 # carry the source conv's calibrated quantizer params
                 # (in_scale/wt_scale/alpha) over the fresh-init template
                 # — only kernel/bias change under BN folding.  NOTE:
@@ -269,6 +274,35 @@ def resnet_deploy(model, variables, example_input=None, rngs=None):
         example_input = jnp.zeros((1, 32, 32, 3), jnp.float32)
     return _fold_bn_deploy(model, variables, _RESNET_BN_PARTNERS,
                            example_input, rngs)
+
+
+def ghostnet_deploy(model, variables, example_input=None, rngs=None):
+    """Train-form GhostNet → BN-free deploy form (model, variables).
+
+    Ghost-module concats close the chain (two independent grids), but
+    every conv runs BN-free int8 and bottleneck residual adds chain
+    through ``QBlockOutput`` (models/ghostnet.py).  Rerun ``calibrate``
+    + ``prepare_deploy`` after conversion.
+    """
+    if example_input is None:
+        example_input = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    return _fold_bn_deploy(model, variables, _GHOSTNET_BN_PARTNERS,
+                           example_input, rngs)
+
+
+def efficientnet_deploy(model, variables, example_input=None, rngs=None):
+    """Train-form EfficientNet → BN-free deploy form (model, variables).
+
+    Swish keeps the int path un-chained (qmode='intc' degrades to
+    'int'), but the deploy twin removes all inference-time BN
+    arithmetic.  Rerun ``calibrate`` + ``prepare_deploy`` after.
+    """
+    if example_input is None:
+        size = 32 if getattr(model, "cifar", False) else 224
+        example_input = jnp.zeros((1, size, size, 3), jnp.float32)
+    # EfficientNet BatchNorms use epsilon=1e-3 (models/efficientnet.py)
+    return _fold_bn_deploy(model, variables, _MOBILENET_BN_PARTNERS,
+                           example_input, rngs, eps=1e-3)
 
 
 def mobilenet_deploy(model, variables, example_input=None, rngs=None):

@@ -15,8 +15,9 @@ import jax.numpy as jnp
 
 from dlmc_quant_tpu.models.mobilenetv2 import _make_divisible
 from dlmc_quant_tpu.models.registry import register
+from dlmc_quant_tpu.quant.chain import materialize, qrelu
 from dlmc_quant_tpu.quant.config import QuantScheme
-from dlmc_quant_tpu.quant.layers import QConv, QDense
+from dlmc_quant_tpu.quant.layers import QBlockOutput, QConv, QDense
 
 
 def _bn(train, name):
@@ -35,6 +36,8 @@ class SqueezeExcite(nn.Module):
 
     @nn.compact
     def __call__(self, x, qmode="eval"):
+        x = materialize(x)          # SE gating needs concrete values
+        qmode = "int" if qmode == "intc" else qmode
         red = _make_divisible(self.channels * self.se_ratio, 4)
         s = jnp.mean(x, axis=(1, 2))
         s = nn.relu(QDense(red, name="reduce",
@@ -51,26 +54,32 @@ class GhostModule(nn.Module):
     dw_size: int = 3
     strides: Tuple[int, int] = (1, 1)
     relu: bool = True
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
 
     @nn.compact
     def __call__(self, x, train=False, qmode="eval"):
+        dep = self.deploy
         init_ch = -(-self.features // self.ratio)
         new_ch = init_ch * (self.ratio - 1)
         k, d = self.kernel_size, self.dw_size
         y1 = QConv(init_ch, (k, k), self.strides,
-                   padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                   padding=[(k // 2, k // 2)] * 2, use_bias=dep,
                    name="primary", scheme=self.scheme)(x, qmode=qmode)
-        y1 = _bn(train, "primary_bn")(y1)
+        if not dep:
+            y1 = _bn(train, "primary_bn")(y1)
         if self.relu:
-            y1 = nn.relu(y1)
+            y1 = qrelu(y1)
         y2 = QConv(new_ch, (d, d), padding=[(d // 2, d // 2)] * 2,
-                   feature_group_count=init_ch, use_bias=False,
+                   feature_group_count=init_ch, use_bias=dep,
                    name="cheap", scheme=self.scheme)(y1, qmode=qmode)
-        y2 = _bn(train, "cheap_bn")(y2)
+        if not dep:
+            y2 = _bn(train, "cheap_bn")(y2)
         if self.relu:
-            y2 = nn.relu(y2)
-        return jnp.concatenate([y1, y2], axis=-1)[..., :self.features]
+            y2 = qrelu(y2)
+        # concat closes the chain (two independent grids)
+        return jnp.concatenate([materialize(y1), materialize(y2)],
+                               axis=-1)[..., :self.features]
 
 
 class GhostBottleneck(nn.Module):
@@ -79,43 +88,57 @@ class GhostBottleneck(nn.Module):
     dw_kernel_size: int = 3
     strides: Tuple[int, int] = (1, 1)
     se_ratio: float = 0.0
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
 
     @nn.compact
     def __call__(self, x, train=False, qmode="eval"):
+        dep = self.deploy
         shortcut = x
         y = GhostModule(self.mid_features, relu=True, name="ghost1",
+                        deploy=dep,
                         scheme=self.scheme)(x, train=train, qmode=qmode)
         if self.strides != (1, 1):
             k = self.dw_kernel_size
             y = QConv(self.mid_features, (k, k), self.strides,
                       padding=[(k // 2, k // 2)] * 2,
-                      feature_group_count=self.mid_features, use_bias=False,
+                      feature_group_count=self.mid_features, use_bias=dep,
                       name="dw", scheme=self.scheme)(y, qmode=qmode)
-            y = _bn(train, "dw_bn")(y)
+            if not dep:
+                y = _bn(train, "dw_bn")(y)
         if self.se_ratio > 0:
             y = SqueezeExcite(self.mid_features, self.se_ratio, name="se",
                               scheme=self.scheme)(y, qmode=qmode)
         y = GhostModule(self.out_features, relu=False, name="ghost2",
+                        deploy=dep,
                         scheme=self.scheme)(y, train=train, qmode=qmode)
         if (x.shape[-1] != self.out_features or self.strides != (1, 1)):
             k = self.dw_kernel_size
             shortcut = QConv(x.shape[-1], (k, k), self.strides,
                              padding=[(k // 2, k // 2)] * 2,
                              feature_group_count=x.shape[-1],
-                             use_bias=False, name="shortcut_dw",
+                             use_bias=dep, name="shortcut_dw",
                              scheme=self.scheme)(x, qmode=qmode)
-            shortcut = _bn(train, "shortcut_dw_bn")(shortcut)
-            shortcut = QConv(self.out_features, (1, 1), use_bias=False,
+            if not dep:
+                shortcut = _bn(train, "shortcut_dw_bn")(shortcut)
+            shortcut = QConv(self.out_features, (1, 1), use_bias=dep,
                              name="shortcut_pw",
                              scheme=self.scheme)(shortcut, qmode=qmode)
-            shortcut = _bn(train, "shortcut_pw_bn")(shortcut)
+            if not dep:
+                shortcut = _bn(train, "shortcut_pw_bn")(shortcut)
+        if dep:
+            # ghost modules already materialized their concat, but the
+            # shortcut may still be deferred; the block output quantizer
+            # closes both onto one grid (no activation on the add)
+            return QBlockOutput(name="out_q", relu=False,
+                                scheme=self.scheme)(y, shortcut, qmode=qmode)
         return y + shortcut
 
 
 class GhostNet(nn.Module):
     num_classes: int = 1000
     width: float = 1.0
+    deploy: bool = False
     scheme: Optional[QuantScheme] = None
 
     # (dw_kernel, mid, out, se_ratio, stride) — standard GhostNet-1.0 table
@@ -135,28 +158,31 @@ class GhostNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False, qmode="eval"):
+        dep = self.deploy
+        if not dep and qmode == "intc":
+            qmode = "int"       # chaining needs the BN-folded form
         w = self.width
         stem = _make_divisible(16 * w, 4)
-        x = QConv(stem, (3, 3), (2, 2), use_bias=False, name="conv_stem",
+        x = QConv(stem, (3, 3), (2, 2), use_bias=dep, name="conv_stem",
                   scheme=self.scheme)(x, qmode=qmode)
-        x = nn.relu(_bn(train, "bn_stem")(x))
+        x = qrelu(x if dep else _bn(train, "bn_stem")(x))
         bi = 0
         for stage in self.CFG:
             for (k, mid, out, se, s) in stage:
                 x = GhostBottleneck(
                     _make_divisible(mid * w, 4), _make_divisible(out * w, 4),
-                    k, (s, s), se_ratio=se, name=f"block{bi}",
+                    k, (s, s), se_ratio=se, deploy=dep, name=f"block{bi}",
                     scheme=self.scheme)(x, train=train, qmode=qmode)
                 bi += 1
         head = _make_divisible(960 * w, 4)
-        x = QConv(head, (1, 1), use_bias=False, name="conv_head",
+        x = QConv(head, (1, 1), use_bias=dep, name="conv_head",
                   scheme=self.scheme)(x, qmode=qmode)
-        x = nn.relu(_bn(train, "bn_head")(x))
-        x = jnp.mean(x, axis=(1, 2))
-        x = nn.relu(QDense(1280, name="fc1",
-                           scheme=self.scheme)(x, qmode=qmode))
-        return QDense(self.num_classes, name="linear",
-                      scheme=self.scheme)(x, qmode=qmode)
+        x = qrelu(x if dep else _bn(train, "bn_head")(x))
+        x = jnp.mean(materialize(x), axis=(1, 2))
+        x = qrelu(QDense(1280, name="fc1",
+                         scheme=self.scheme)(x, qmode=qmode))
+        return materialize(QDense(self.num_classes, name="linear",
+                                  scheme=self.scheme)(x, qmode=qmode))
 
 
 @register("ghostnet")

@@ -23,7 +23,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from dlmc_quant_tpu.models.registry import register
-from dlmc_quant_tpu.quant.chain import QuantizedTensor, materialize, qrelu
+from dlmc_quant_tpu.quant.chain import (QuantizedTensor, materialize,
+                                         qmaxpool, qrelu)
 from dlmc_quant_tpu.quant.config import QuantScheme
 from dlmc_quant_tpu.quant.layers import QBlockOutput, QConv, QDense
 
@@ -174,9 +175,9 @@ class CifarResNetLarge(nn.Module):
                       name="conv1", scheme=self.scheme)(x, qmode=qmode)
             if not self.deploy:
                 x = _bn(train, "bn1")(x)
-            x = nn.relu(materialize(x))
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1),
-                                                                (1, 1)))
+            # maxpool commutes with the (monotone) epilogue: stays lazy
+            # on the chain so block1 folds relu+quantize (chain.qmaxpool)
+            x = qmaxpool(qrelu(x), (3, 3), (2, 2), ((1, 1), (1, 1)))
         else:
             x = QConv(64, (3, 3), use_bias=self.deploy, name="conv1",
                       scheme=self.scheme)(x, qmode=qmode)

@@ -132,6 +132,29 @@ def qrelu6(x):
     return jnp.minimum(jax.nn.relu(x), 6.0)
 
 
+def qmaxpool(x, window, strides, padding):
+    """``nn.max_pool`` that stays lazy on the chain.
+
+    Max-pooling is per-channel spatial; the epilogue affine is monotone
+    increasing per channel (scale > 0), and ReLU/clamp are monotone too,
+    so ``maxpool(epilogue(acc)) == epilogue(maxpool(acc))`` — pool the
+    int32 accumulator (or int8 codes) and keep the boundary foldable.
+    Pad contributions: flax pads with -inf; on integer accumulators use
+    the dtype min, which loses to any real window element the same way.
+    """
+    import flax.linen as nn
+
+    if isinstance(x, DeferredEpilogue):
+        acc = nn.pooling.pool(x.acc, jnp.iinfo(x.acc.dtype).min,
+                              jax.lax.max, window, strides, padding)
+        return x.replace(acc=acc)
+    if isinstance(x, QuantizedTensor):
+        q = nn.pooling.pool(x.q, jnp.int8(-128), jax.lax.max, window,
+                            strides, padding)
+        return x.replace(q=q)
+    return nn.max_pool(x, window, strides=strides, padding=padding)
+
+
 def materialize(x) -> jnp.ndarray:
     """Close a chain: f32 value of a deferred output (no-op on arrays)."""
     if isinstance(x, QuantizedTensor):

@@ -63,6 +63,17 @@ import numpy as np
 # Whole-model consequence: deploy-form RepVGG-A0 int8 runs ~72k img/s
 # per chip at batch 512 vs ~40k fp32 (1.8×) with weight-resident
 # dispatch (make_serving_fn below).
+#
+# SE models (RepVGG-D2se): SEBlock gating needs concrete activations,
+# so it materializes the chain and remaps intc→int block-internally
+# (models/repvgg.py SEBlock) — D2se runs the plain int path inside
+# every SE block and only the conv boundaries outside SE stay chained.
+# Measured in bench.py extras (repvgg_d2se_int8_ips).
+#
+# Residual nets (ResNet, MobileNetV2): block boundaries chain through
+# QuantizedTensor codes on per-block calibrated grids — the residual
+# add + (ReLU) + requantize is ONE fused clamp and the boundary tensor
+# crosses HBM as int8 (quant/chain.py, quant/layers.py QBlockOutput).
 
 # Opt-in: rewrite 3x3/s2 small-channel stems as space-to-depth 2x2/s1
 # convs (see layers._s2d_conv).  Exact, but measured slightly slower on

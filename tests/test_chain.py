@@ -209,6 +209,43 @@ class TestResNetDeploy:
         assert y_c.shape == (2, 10)
         assert rel_c < max(1.5 * rel_int, 0.02), (rel_c, rel_int)
 
+    @pytest.mark.parametrize("name,conv,kw", [
+        ("ghostnet", "ghostnet_deploy", {"width": 0.5}),
+        ("cifar_efficientnetb0", "efficientnet_deploy", {}),
+    ])
+    def test_ghostnet_efficientnet_deploy(self, name, conv, kw):
+        """BN-folded deploy twins for the rest of the zoo: fp-exact
+        conversion and a working int path (chained where activations
+        allow, plain int elsewhere)."""
+        import flax
+        from dlmc_quant_tpu.models import fuse as fusemod
+
+        model = get_model(name, num_classes=10, scheme=_scheme(), **kw)
+        size = 64 if name == "ghostnet" else 32
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, size, size, 3))
+        v = flax.core.unfreeze(jax.jit(model.init)(jax.random.PRNGKey(1), x))
+        v["batch_stats"] = jax.tree_util.tree_map(
+            lambda a: a + 0.1 * jax.random.uniform(
+                jax.random.PRNGKey(2), a.shape), v["batch_stats"])
+
+        dmodel, dv = getattr(fusemod, conv)(model, v, example_input=x[:1])
+        np.testing.assert_allclose(
+            np.asarray(dmodel.apply(dv, x, qmode="fp")),
+            np.asarray(model.apply(v, x, qmode="fp")),
+            rtol=2e-3, atol=3e-5)
+        assert "batch_stats" not in dv
+
+        dv = calibrate(dmodel, dv, [x])
+        dv = prepare_deploy(dmodel, dv, sample_input=x)
+        y_fp = dmodel.apply(dv, x, qmode="fp")
+        y_int = dmodel.apply(dv, x, qmode="int")
+        y_c = dmodel.apply(dv, x, qmode="intc")
+        nfp = jnp.linalg.norm(y_fp) + 1e-9
+        rel_int = float(jnp.linalg.norm(y_int - y_fp) / nfp)
+        rel_c = float(jnp.linalg.norm(y_c - y_fp) / nfp)
+        assert y_c.shape == (2, 10)
+        assert rel_c < max(1.5 * rel_int, 0.02), (rel_c, rel_int)
+
     def test_qrelu6_fold_matches_eager(self):
         """ReLU6 upper clamp folded into the quantize == clamp-then-
         quantize, bit-for-bit on power-of-2 affines."""
