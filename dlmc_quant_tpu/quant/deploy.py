@@ -53,7 +53,10 @@ import numpy as np
 #   same shapes — exact but 0.74× XLA; kept as a tested, documented
 #   reference point, not wired into the hot path.  Two earlier kernels
 #   (implicit-GEMM qconv, channel-major cmconv) measured further behind
-#   and were removed (see git history).
+#   and were removed (see git history).  Re-validated 2026-08 with the
+#   hoist-proof time_scan (optimization_barrier carry threading —
+#   the earlier scan body was theoretically hoistable): rpconv 19–141
+#   TOP/s vs XLA 94–191 on the same shapes; the engine call stands.
 # * Dense/1×1 contractions: jnp.dot int8→int32 sustains 354 TOP/s at
 #   4096³ and beats the Pallas int8_matmul everywhere that occurs in a
 #   model (head 512×1280×1000: 13.3 vs 6.8 TOP/s; M-heavy thin
@@ -74,6 +77,26 @@ import numpy as np
 # QuantizedTensor codes on per-block calibrated grids — the residual
 # add + (ReLU) + requantize is ONE fused clamp and the boundary tensor
 # crosses HBM as int8 (quant/chain.py, quant/layers.py QBlockOutput).
+# Measured (BENCH r4, batch 256): ResNet-50 int8 16.9k img/s vs 8.4k
+# fp32 = 2.00× (was 1.25× before residual chaining).  Per-layer audit
+# (tools/resnet_layerbench.py): the 56×56/64-channel stage-1 convs
+# cannot fill the 256-wide int8 MXU tiles and run at/below fp32 in
+# isolation; the late stages run 2–3×.  Whole-model beats the isolated
+# sum because boundary epilogues fuse into producers.
+#
+# W4A8 (native-S4 weights): MobileOne-S1 measures 42.6k img/s vs 42.5k
+# W8A8 — parity, NOT faster: at batch 256 these models are activation-
+# bound, so halving weight HBM traffic doesn't move throughput.  W4's
+# value here is the memory footprint (weights half-size in HBM), not
+# speed; recorded honestly per the A/B rule above.
+#
+# Host data-pipeline ceiling (tools/loaderbench.py, quiet box): the
+# PIL-decode ImageFolder path sustains ~290-390 img/s/host (train w/
+# parallel header probe + RandomResizedCrop).  A single v5e chip
+# consuming 77k img/s therefore needs ~200 loader hosts or a native
+# decode path — the C++ fused-augment stage (data/native) covers the
+# in-memory path; JPEG decode remains PIL.  Stated so the E2E serving
+# story is honest about where the bottleneck moves.
 
 # Opt-in: rewrite 3x3/s2 small-channel stems as space-to-depth 2x2/s1
 # convs (see layers._s2d_conv).  Exact, but measured slightly slower on

@@ -58,22 +58,29 @@ SHAPES = [
 BOUNDARIES = [(56, 256, 3), (28, 512, 4), (14, 1024, 6), (7, 2048, 3)]
 
 
-def int8_layer(x, w, a, b, s, p):
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)),
-                 constant_values=jnp.int8(-128))
-    acc = jax.lax.conv_general_dilated(
-        xp, w, (s, s), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
-    y = jnp.maximum(acc.astype(jnp.float32) * a + b, 0.)
-    return jnp.clip(jnp.round(y * 7.7 - 128), -128, 127).astype(jnp.int8)
+def make_int8_layer(s, p):
+    def int8_layer(x, w, a, b):
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)),
+                     constant_values=jnp.int8(-128))
+        acc = jax.lax.conv_general_dilated(
+            xp, w, (s, s), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = jnp.maximum(acc.astype(jnp.float32) * a + b, 0.)
+        return jnp.clip(jnp.round(y * 7.7 - 128), -128,
+                        127).astype(jnp.int8)
+    return int8_layer
 
 
-def fp32_layer(x, w, b, s, p):
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-    y = jax.lax.conv_general_dilated(
-        xp, w, (s, s), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return jnp.maximum(y + b, 0.)
+def make_fp32_layer(s, p):
+    def fp32_layer(x, w, b):
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, w, (s, s), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jnp.maximum(y + b, 0.)
+    return fp32_layer
 
 
 def add_f32(acc_t, acc_s, a, b):
@@ -102,8 +109,8 @@ def main():
         p = k // 2
         ho = h // s
         macs = B * ho * ho * co * k * k * ci
-        t8 = time_scan(int8_layer, x8, w8, a, b, s, p, iters=48)
-        tf = time_scan(fp32_layer, xf, wf, b, s, p, iters=48)
+        t8 = time_scan(make_int8_layer(s, p), x8, w8, a, b, iters=48)
+        tf = time_scan(make_fp32_layer(s, p), xf, wf, b, iters=48)
         tot_fp += tf * count
         tot_i8 += t8 * count
         print(f"{h:4d} {ci:5d}->{co:5d} k{k} s{s} x{count:2d}: "
