@@ -193,6 +193,12 @@ def main():
         # SE variant: SEBlock materializes the chain (models/repvgg.py)
         ("repvgg_d2se_int8_ips",
          lambda: _bench_int_only("RepVGG_D2se", 64, deploy=True)),
+        # BASELINE config #2's model, BN-folded deploy twin with
+        # ReLU6-chained linear-bottleneck residuals (models/fuse.py:
+        # mobilenet_deploy builds it from a trained model; here the
+        # deploy=True form is benched directly)
+        ("mobilenet_v2_int8_ips",
+         lambda: _bench_int_only("mobilenet_v2", 256, deploy=True)),
     ):
         try:
             r = fn()
