@@ -17,7 +17,9 @@ import jax.numpy as jnp  # noqa: E402
 
 from dlmc_quant_tpu.data import get_dataloader  # noqa: E402
 from dlmc_quant_tpu.models import get_model  # noqa: E402
-from dlmc_quant_tpu.models.fuse import merge_bn, repvgg_fuse  # noqa: E402
+from dlmc_quant_tpu.models.fuse import (  # noqa: E402
+    efficientnet_deploy, ghostnet_deploy, merge_bn, mobilenet_deploy,
+    repvgg_fuse, resnet_deploy)
 from dlmc_quant_tpu.models.mobileone import mobileone_fuse  # noqa: E402
 from dlmc_quant_tpu.quant.config import scheme_from_dict  # noqa: E402
 from dlmc_quant_tpu.quant.layers import calibrate  # noqa: E402
@@ -30,7 +32,12 @@ from dlmc_quant_tpu.utils.checkpoint import (load_checkpoint,  # noqa: E402
 from dlmc_quant_tpu.utils.config import ConfigParser  # noqa: E402
 from dlmc_quant_tpu.utils.logging import setup_logging  # noqa: E402
 
-FUSERS = {"RepVGG": repvgg_fuse, "MobileOne": mobileone_fuse}
+# every zoo family has a deploy conversion: reparam branch fusion for
+# RepVGG/MobileOne, conv<->BN partner folds for the rest (models/fuse.py)
+FUSERS = {"RepVGG": repvgg_fuse, "MobileOne": mobileone_fuse,
+          "CifarResNet": resnet_deploy, "CifarResNetLarge": resnet_deploy,
+          "MobileNetV2": mobilenet_deploy, "GhostNet": ghostnet_deploy,
+          "EfficientNet": efficientnet_deploy}
 
 
 def main():
@@ -52,7 +59,7 @@ def main():
     fuser = FUSERS.get(type(model).__name__)
     if fuser is not None and not getattr(model, "deploy", False):
         model, variables = fuser(model, variables, x0)
-        logger.info("branch-fused %s to deploy form", type(model).__name__)
+        logger.info("converted %s to deploy form", type(model).__name__)
     else:
         variables = merge_bn(model, variables, x0)
         logger.info("merged BN into convs")
