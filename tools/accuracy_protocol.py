@@ -205,11 +205,14 @@ North-star criterion: W8A8 Δ ≥ -0.50 → {"**met**" if a8 - fp_acc >= -0.5
         cal = cal_set(train_l)
         m8, qm, qv = ptq(dmodel, dvars, cal, eval_l, 8, loss_fn, metrics,
                          args.recon_iters)
-        # the serve path: real-int8 execution of the reconstructed model
+        # the serve path: real-int8 execution of the reconstructed model,
+        # plain ('int') and chained int8-resident ('intc', quant/chain.py)
         qv = prepare_deploy(qm, qv, sample_input=cal[0][:8])
         m8i = evaluate(qm, qv, eval_l, loss_fn, metrics, qmode="int")
+        m8c = evaluate(qm, qv, eval_l, loss_fn, metrics, qmode="intc")
         fp_acc = fp_m["accuracy"] * 100
         a8, a8i = m8["accuracy"] * 100, m8i["accuracy"] * 100
+        a8c = m8c["accuracy"] * 100
         sections.append(f"""
 ## RepVGG_A0 — branch-fuse → RepAPQ/FSPTQ W8A8 (flagship path, {stamp})
 
@@ -229,6 +232,7 @@ the serve configuration.
 | fp32 (fused deploy form) | {fp_acc:.2f} | — |
 | W8A8 FSPTQ (fake-quant eval) | {a8:.2f} | {a8 - fp_acc:+.2f} |
 | W8A8 FSPTQ (real int8 execution) | {a8i:.2f} | {a8i - fp_acc:+.2f} |
+| W8A8 FSPTQ (chained int8-resident, 'intc') | {a8c:.2f} | {a8c - fp_acc:+.2f} |
 
 North-star criterion: W8A8 Δ ≥ -0.50 → {"**met**" if a8 - fp_acc >= -0.5
                                          else "**not met**"}.
