@@ -58,8 +58,8 @@ from dlmc_quant_tpu.training.schedulers import CosineDecayLR  # noqa: E402
 from dlmc_quant_tpu.training.trainer import Trainer  # noqa: E402
 
 
-def w_scheme(bits: int, recon=None):
-    wargs = {"enable": True, "type": "minmax_channel",
+def w_scheme(bits: int, recon=None, wtype: str = "minmax_channel"):
+    wargs = {"enable": True, "type": wtype,
              "args": {"n_bits": bits, "signed": True}}
     if recon:
         wargs["recon_type"] = recon
@@ -96,8 +96,8 @@ def train_fp(model, train_l, eval_l, epochs: int, lr: float = 0.1):
 
 
 def ptq(model, fp_vars, cal_batches, eval_loader, bits, loss_fn, metrics,
-        recon_iters, recon=None, fp_model=None):
-    qmodel = dataclasses.replace(model, scheme=w_scheme(bits, recon))
+        recon_iters, recon=None, fp_model=None, wtype="minmax_channel"):
+    qmodel = dataclasses.replace(model, scheme=w_scheme(bits, recon, wtype))
     qvars = flax.core.unfreeze(jax.jit(qmodel.init)(
         jax.random.PRNGKey(0), cal_batches[0]))
     flatq = flax.traverse_util.flatten_dict(qvars["params"])
@@ -165,8 +165,11 @@ def main():
                        args.recon_iters)
         m4, _, _ = ptq(model, fp_vars, cal, eval_l, 4, loss_fn, metrics,
                        args.recon_iters)
+        # 4-bit best practice: MSE-optimal clipping (the reference's
+        # 'l2loss' grid-search observer, ref: ops.py:169-196) + AdaRound
         m4a, _, _ = ptq(model, fp_vars, cal, eval_l, 4, loss_fn, metrics,
-                        args.recon_iters, recon="adaround")
+                        args.recon_iters, recon="adaround",
+                        wtype="l2loss_channel")
         fp_acc = fp_m["accuracy"] * 100
         a8, a4 = m8["accuracy"] * 100, m4["accuracy"] * 100
         a4a = m4a["accuracy"] * 100
@@ -188,8 +191,8 @@ activations; W4A8 = same with 4-bit weights (first conv + head kept
 |---|---|---|
 | fp32 | {fp_acc:.2f} | — |
 | W8A8 FSPTQ | {a8:.2f} | {a8 - fp_acc:+.2f} |
-| W4A8 FSPTQ (round) | {a4:.2f} | {a4 - fp_acc:+.2f} |
-| W4A8 FSPTQ (AdaRound) | {a4a:.2f} | {a4a - fp_acc:+.2f} |
+| W4A8 FSPTQ (minmax, round) | {a4:.2f} | {a4 - fp_acc:+.2f} |
+| W4A8 FSPTQ (l2loss clip + AdaRound) | {a4a:.2f} | {a4a - fp_acc:+.2f} |
 
 North-star criterion: W8A8 Δ ≥ -0.50 → {"**met**" if a8 - fp_acc >= -0.5
                                          else "**not met**"}.
