@@ -111,6 +111,20 @@ def run_ptq(config, logger=None) -> Dict:
                              metric_fns, qmode="eval")
         logger.info("quantized: %s", q_metrics)
 
+    # optional: evaluate through the REAL integer execution path (the
+    # serve configuration) — config key `eval_int: true`, qmode
+    # selectable via `int_qmode` ('int' or chained 'intc').  The
+    # reference can't do this (fp32 emulation only).
+    int_metrics = None
+    if get("eval_int", False) and eval_loader is not None:
+        from dlmc_quant_tpu.quant.deploy import prepare_deploy
+        int_qmode = get("int_qmode", "int")
+        dv = prepare_deploy(model_q, variables, sample_input=sample_x)
+        int_metrics = evaluate(model_q, dv, eval_loader, loss_fn,
+                               metric_fns, qmode=int_qmode)
+        logger.info("quantized (real %s execution): %s", int_qmode,
+                    int_metrics)
+
     save_dir = getattr(config, "save_dir", None)
     if save_dir is not None:
         save_checkpoint(save_dir / "quantized_model",
@@ -119,5 +133,5 @@ def run_ptq(config, logger=None) -> Dict:
                                   "config": cfg})
         logger.info("saved quantized model to %s", save_dir)
 
-    return {"fp32": fp_metrics, "quant": q_metrics, "variables": variables,
-            "model": model_q}
+    return {"fp32": fp_metrics, "quant": q_metrics, "int": int_metrics,
+            "variables": variables, "model": model_q}

@@ -246,6 +246,28 @@ class TestResNetDeploy:
         assert y_c.shape == (2, 10)
         assert rel_c < max(1.5 * rel_int, 0.02), (rel_c, rel_int)
 
+    def test_imagenet_stem_qmaxpool_chain(self):
+        """The 7×7/s2 + maxpool stem stays on the chain: pooling the
+        int32 accumulator commutes with the epilogue (chain.qmaxpool),
+        so block1 folds relu+quantize instead of materializing f32."""
+        import flax
+        from dlmc_quant_tpu.models.fuse import resnet_deploy
+
+        model = get_model("resnet18", num_classes=10, scheme=_scheme())
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        v = flax.core.unfreeze(jax.jit(model.init)(jax.random.PRNGKey(1), x))
+        dmodel, dv = resnet_deploy(model, v, example_input=x[:1])
+        dv = calibrate(dmodel, dv, [x])
+        dv = prepare_deploy(dmodel, dv, sample_input=x)
+        y_fp = dmodel.apply(dv, x, qmode="fp")
+        y_int = dmodel.apply(dv, x, qmode="int")
+        y_c = dmodel.apply(dv, x, qmode="intc")
+        nfp = jnp.linalg.norm(y_fp) + 1e-9
+        rel_int = float(jnp.linalg.norm(y_int - y_fp) / nfp)
+        rel_c = float(jnp.linalg.norm(y_c - y_fp) / nfp)
+        assert y_c.shape == (2, 10)
+        assert rel_c < max(1.5 * rel_int, 0.02), (rel_c, rel_int)
+
     def test_qrelu6_fold_matches_eager(self):
         """ReLU6 upper clamp folded into the quantize == clamp-then-
         quantize, bit-for-bit on power-of-2 affines."""

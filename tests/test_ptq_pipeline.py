@@ -138,3 +138,13 @@ class TestPTQPipeline:
             np.asarray(tree["params"]["conv1"]["wt_scale"]),
             np.asarray(res["variables"]["params"]["conv1"]["wt_scale"]))
         assert "quant" in meta
+
+    def test_e2e_real_int_eval(self, tiny_ptq_config):
+        """eval_int: the PTQ pipeline also evaluates through the real
+        integer execution path (serve configuration)."""
+        cfg = {**tiny_ptq_config, "eval_int": True, "int_qmode": "int"}
+        res = run_ptq(cfg)
+        assert res["int"] is not None
+        # real-int8 loss tracks the fake-quant eval loss closely
+        assert abs(res["int"]["loss"] - res["quant"]["loss"]) \
+            / res["quant"]["loss"] < 0.05
