@@ -120,6 +120,21 @@ def ptq(model, fp_vars, cal_batches, eval_loader, bits, loss_fn, metrics,
     return m, qmodel, qvars
 
 
+def ptq_retry(*args, attempts: int = 3, **kw):
+    """The axon tunnel's remote_compile sporadically drops the
+    connection mid-stream ('response body closed...'); retry the whole
+    PTQ round — recompilation usually succeeds."""
+    import jax.errors
+    for i in range(attempts):
+        try:
+            return ptq(*args, **kw)
+        except jax.errors.JaxRuntimeError as e:
+            if "remote_compile" not in str(e) or i == attempts - 1:
+                raise
+            print(f"transient remote-compile failure, retry {i + 1}: "
+                  f"{str(e)[:120]}", file=sys.stderr)
+
+
 def cal_set(train_l, n: int = 1024):
     batches, seen = [], 0
     for x, _ in train_l:
@@ -161,15 +176,15 @@ def main():
         fp_m = evaluate(model, fp_vars, eval_l, loss_fn, metrics,
                         qmode="fp")
         cal = cal_set(train_l)
-        m8, _, _ = ptq(model, fp_vars, cal, eval_l, 8, loss_fn, metrics,
-                       args.recon_iters)
-        m4, _, _ = ptq(model, fp_vars, cal, eval_l, 4, loss_fn, metrics,
-                       args.recon_iters)
+        m8, _, _ = ptq_retry(model, fp_vars, cal, eval_l, 8, loss_fn,
+                             metrics, args.recon_iters)
+        m4, _, _ = ptq_retry(model, fp_vars, cal, eval_l, 4, loss_fn,
+                             metrics, args.recon_iters)
         # 4-bit best practice: MSE-optimal clipping (the reference's
         # 'l2loss' grid-search observer, ref: ops.py:169-196) + AdaRound
-        m4a, _, _ = ptq(model, fp_vars, cal, eval_l, 4, loss_fn, metrics,
-                        args.recon_iters, recon="adaround",
-                        wtype="l2loss_channel")
+        m4a, _, _ = ptq_retry(model, fp_vars, cal, eval_l, 4, loss_fn,
+                              metrics, args.recon_iters, recon="adaround",
+                              wtype="l2loss_channel")
         fp_acc = fp_m["accuracy"] * 100
         a8, a4 = m8["accuracy"] * 100, m4["accuracy"] * 100
         a4a = m4a["accuracy"] * 100
@@ -206,8 +221,8 @@ North-star criterion: W8A8 Δ ≥ -0.50 → {"**met**" if a8 - fp_acc >= -0.5
         fp_m = evaluate(dmodel, dvars, eval_l, loss_fn, metrics,
                         qmode="fp")
         cal = cal_set(train_l)
-        m8, qm, qv = ptq(dmodel, dvars, cal, eval_l, 8, loss_fn, metrics,
-                         args.recon_iters)
+        m8, qm, qv = ptq_retry(dmodel, dvars, cal, eval_l, 8, loss_fn,
+                               metrics, args.recon_iters)
         # the serve path: real-int8 execution of the reconstructed model,
         # plain ('int') and chained int8-resident ('intc', quant/chain.py)
         qv = prepare_deploy(qm, qv, sample_input=cal[0][:8])
