@@ -179,13 +179,46 @@ def _group_label(path: Tuple[str, ...]) -> str:
     return "scale_like"          # wt_scale / in_scale / alpha / bounds
 
 
+def _round_reg(params, beta):
+    """AdaRound rounding regularizer: Σ 1 − |2·h(α) − 1|^β over every
+    ``alpha`` leaf, where h(α) is the rectified-sigmoid soft target.
+
+    Pushes soft targets to {0, 1} as β anneals down, so the hard
+    (α ≥ 0) eval decision matches what reconstruction optimized —
+    WITHOUT it the soft targets drift toward 0.5 and hard thresholding
+    scrambles them (AdaRound paper Eq. 24; the reference's FSPTQ trains
+    a plain l2 with no regularizer, ref: fsptq_trainer.py:76-103, and
+    measurably loses to nearest rounding at W4 because of it).
+    """
+    from dlmc_quant_tpu.quant.layers import (ADAROUND_GAMMA, ADAROUND_ZETA)
+
+    flat = flax.traverse_util.flatten_dict(params)
+    reg = jnp.float32(0.0)
+    for path, leaf in flat.items():
+        if path[-1] == "alpha":
+            h = jnp.clip(jax.nn.sigmoid(leaf)
+                         * (ADAROUND_ZETA - ADAROUND_GAMMA)
+                         + ADAROUND_GAMMA, 0.0, 1.0)
+            reg = reg + jnp.sum(1.0 - jnp.abs(2.0 * h - 1.0) ** beta)
+    return reg
+
+
+def _has_alpha(params) -> bool:
+    return any(p[-1] == "alpha"
+               for p in flax.traverse_util.flatten_dict(params))
+
+
 def reconstruct_block(block: nn.Module, block_vars: Dict, x_cache, y_fp,
                       iters: int = 2000, batch_size: int = 64,
                       lrs: Optional[Dict[str, float]] = None,
-                      seed: int = 0, train_qmode: str = "train"):
+                      seed: int = 0, train_qmode: str = "train",
+                      round_reg_lambda: float = 0.01):
     """Adam + cosine reconstruction of one block against cached FP outputs.
 
-    ref: fsptq_trainer.py:76-103
+    ref: fsptq_trainer.py:76-103.  Blocks with AdaRound ``alpha``
+    params additionally get the β-annealed rounding regularizer
+    (:func:`_round_reg`): warmup 20 % of iters with no regularization,
+    then β anneals 20 → 2 (the AdaRound paper's schedule).
     """
     lrs = {**DEFAULT_GROUP_LRS, **(lrs or {})}
     params = block_vars["params"]
@@ -201,13 +234,18 @@ def reconstruct_block(block: nn.Module, block_vars: Dict, x_cache, y_fp,
 
     rest = {k: v for k, v in block_vars.items() if k != "params"}
     n = x_cache.shape[0]
+    use_reg = round_reg_lambda > 0 and _has_alpha(params)
+    warmup = int(0.2 * iters)
 
     @jax.jit
-    def step(params, opt_state, idx):
+    def step(params, opt_state, idx, lam, beta):
         def loss_fn(p):
             out = block.apply({"params": p, **rest}, x_cache[idx],
                               qmode=train_qmode)
-            return l2_loss(out, y_fp[idx])
+            loss = l2_loss(out, y_fp[idx])
+            if use_reg:
+                loss = loss + lam * _round_reg(p, beta)
+            return loss
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
@@ -216,7 +254,13 @@ def reconstruct_block(block: nn.Module, block_vars: Dict, x_cache, y_fp,
     loss = jnp.inf
     for it in range(iters):
         idx = jnp.asarray(rng.choice(n, min(batch_size, n), replace=False))
-        params, opt_state, loss = step(params, opt_state, idx)
+        if use_reg and it >= warmup:
+            t = (it - warmup) / max(iters - warmup, 1)
+            lam = jnp.float32(round_reg_lambda)
+            beta = jnp.float32(20.0 - 18.0 * t)      # 20 -> 2
+        else:
+            lam, beta = jnp.float32(0.0), jnp.float32(20.0)
+        params, opt_state, loss = step(params, opt_state, idx, lam, beta)
     return params, float(loss)
 
 

@@ -94,3 +94,27 @@ class TestReconstruction:
         tr = FSPTQTrainer(qm, qv, dm, dv, [x], iters=40, batch_size=8)
         out = tr.train()
         assert all(np.isfinite(l) for l in out["block_losses"].values())
+
+
+class TestAdaRoundRegularizer:
+    def test_round_reg_binarizes_soft_targets(self):
+        """β-annealed rounding regularizer pushes h(α) to {0,1}: at low
+        β the penalty gradient drives middling alphas outward."""
+        import jax
+        import jax.numpy as jnp
+        from dlmc_quant_tpu.training.fsptq import _round_reg
+
+        params = {"alpha": jnp.zeros((32,))}     # h(alpha=0) ~ 0.5
+        mid = float(_round_reg(params, jnp.float32(2.0)))
+        done = float(_round_reg({"alpha": jnp.full((32,), 8.0)},
+                                jnp.float32(2.0)))
+        assert mid > 25.0           # ~1 per element at h=0.5
+        assert done < 1e-3          # ~0 once targets saturate
+        g = jax.grad(lambda p: _round_reg(p, jnp.float32(2.0)))(
+            {"alpha": jnp.full((4,), 0.3)})
+        assert float(jnp.max(jnp.abs(g["alpha"]))) > 0  # pushes outward
+
+    def test_reconstruct_applies_reg_only_with_alpha(self):
+        from dlmc_quant_tpu.training.fsptq import _has_alpha
+        assert _has_alpha({"a": {"alpha": 1}})
+        assert not _has_alpha({"a": {"wt_scale": 1}})
