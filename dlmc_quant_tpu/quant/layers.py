@@ -326,7 +326,8 @@ class _QuantOps:
         q = jnp.clip(round_pass(x / s_val) + zp_val, qmin, qmax)
         return (q - zp_val) * s_val                   # ref: base.py:108-109
 
-    def _fsptq_weight(self, kernel, cfg: TensorQConfig, qmode: str):
+    def _fsptq_weight(self, kernel, cfg: TensorQConfig, qmode: str,
+                      x_q=None, forward_oi: Optional[Callable] = None):
         qmin, qmax = cfg.qrange
         sshape = _wt_stat_shape(cfg, kernel.shape)
         scale = self.param("wt_scale", nn.initializers.ones, sshape)
@@ -339,7 +340,14 @@ class _QuantOps:
             kw = cfg.observer_kwargs
             if cfg.per_channel:
                 kw["ch_axis"] = 0
-            s_b, _ = obs.get_qparams_tensor(w_oi, cfg.type, **kw)
+            if obs.is_output_observer(cfg.type):
+                # '*output*' observer types dispatch from any quantized
+                # module family in the reference (fnmatch at
+                # modules/base.py:106-129) — FSPTQ included
+                s_b, _ = obs.get_qparams_output(
+                    _sg(x_q), w_oi, forward_oi, cfg.type, **kw)
+            else:
+                s_b, _ = obs.get_qparams_tensor(w_oi, cfg.type, **kw)
             s = jnp.reshape(_oi_stat_to_store(cfg, s_b), sshape) + 1e-6
             self.variable("qcal", "wt_scale", lambda: s).value = s
             self.variable("qstate", "org_weight",
@@ -396,7 +404,8 @@ class _QuantOps:
             if cfg.input.enable:
                 x_q = self._fsptq_input(x, cfg.input, qmode)
             if cfg.weight.enable:
-                w_q = self._fsptq_weight(kernel, cfg.weight, qmode)
+                w_q = self._fsptq_weight(kernel, cfg.weight, qmode,
+                                         x_q, forward_oi)
         else:  # LSQ / plain
             if cfg.input.enable:
                 x_q = self._lsq_input(x, cfg.input, qmode)

@@ -127,6 +127,21 @@ class TestLSQFamily:
         rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
         assert rel < 0.1
 
+    def test_fsptq_output_recon_weight_observer(self):
+        # '*output*' observers must dispatch from the FSPTQ family too
+        # (ref: modules/base.py:106-129 fnmatch applies to every family)
+        model = QDense(features=4,
+                       scheme=w8a8_scheme(qtype="FSPTQ",
+                                          wt_type="l2norm_output_channel"))
+        x = jax.random.normal(jax.random.PRNGKey(5), (16, 8))
+        v = _init_and_calibrate(model, x)
+        assert v["params"]["wt_scale"].shape == (4,)
+        assert float(jnp.min(v["params"]["wt_scale"])) > 0
+        y_q = model.apply(v, x, qmode="eval")
+        y_fp = model.apply(v, x, qmode="fp")
+        rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+        assert rel < 0.1
+
     def test_multibatch_observe(self):
         model = QDense(features=4, scheme=w8a8_scheme())
         k = jax.random.PRNGKey(6)
