@@ -390,18 +390,47 @@ def _load_cifar_python(data_dir: Path, train: bool, n_classes: int):
 
 
 def _synthetic_classification(n: int, image_size, num_classes: int,
-                              seed: int = 0):
+                              seed: int = 0, profile: str = "easy",
+                              split: str = "train"):
     """Learnable synthetic data: per-class mean patterns + noise.
 
     A hermetic stand-in when no dataset exists on disk (zero-egress
     environments); models can actually fit it, so train/PTQ accuracy
     pipelines are exercisable end-to-end.
+
+    Profiles:
+      * ``'easy'`` — full-image iid prototypes, low noise.  Any sane
+        model saturates (fp32 ≈ 99.9%): good for E2E smoke tests, but
+        useless for discriminating quantization deltas.
+      * ``'hard'`` — class signal confined to a low-rank subspace
+        (class prototype = mix of a few shared basis patterns) under
+        much stronger pixel noise, so fp32 tops out well below 100%
+        and a ±0.5% accuracy criterion has room to discriminate.  Used
+        by tools/accuracy_protocol.py.
     """
     h, w, c = image_size
-    rng = np.random.default_rng(seed)
-    protos = rng.normal(0.5, 0.25, (num_classes, h, w, c)).astype(np.float32)
-    labels = rng.integers(0, num_classes, n)
-    images = protos[labels] + rng.normal(0, 0.25, (n, h, w, c))
+    rng = np.random.default_rng(seed)          # prototypes: split-shared
+    # labels/noise come from a split-specific stream — with a single
+    # stream the eval set's first draws coincide with the train set's
+    # (same seed, same order), i.e. eval ⊂ train.
+    srng = np.random.default_rng((seed, 0 if split == "train" else 1))
+    labels = srng.integers(0, num_classes, n)
+    if profile == "hard":
+        # shared basis: classes differ only through k-dim mixing
+        # coefficients -> pairwise prototype distances are small and
+        # graded; strong iid noise pushes the Bayes boundary near the
+        # network's reach instead of far from it
+        k = 12
+        basis = rng.normal(0.0, 1.0, (k, h, w, c)).astype(np.float32)
+        basis /= np.linalg.norm(basis.reshape(k, -1), axis=1).reshape(
+            k, 1, 1, 1)
+        coef = rng.normal(0.0, 1.0, (num_classes, k)).astype(np.float32)
+        protos = 0.5 + 1.1 * np.einsum("mk,khwc->mhwc", coef, basis)
+        images = protos[labels] + srng.normal(0, 0.35, (n, h, w, c))
+    else:
+        protos = rng.normal(0.5, 0.25,
+                            (num_classes, h, w, c)).astype(np.float32)
+        images = protos[labels] + srng.normal(0, 0.25, (n, h, w, c))
     return np.clip(images, 0, 1).astype(np.float32), labels
 
 
@@ -427,6 +456,7 @@ def CIFAR10(data_dir: str = "data", batch_size: int = 128,
             training: bool = True, n_samples: Optional[int] = None,
             random_sample: bool = False, num_workers: int = 0,
             synthetic_fallback: bool = True, seed: int = 0,
+            synthetic_profile: str = "easy",
             _n_classes: int = 10) -> DataLoader:
     root = Path(data_dir)
     try:
@@ -435,7 +465,9 @@ def CIFAR10(data_dir: str = "data", batch_size: int = 128,
         if not synthetic_fallback:
             raise
         images, labels = _synthetic_classification(
-            10000 if training else 2000, (32, 32, 3), _n_classes, seed)
+            10000 if training else 2000, (32, 32, 3), _n_classes, seed,
+            profile=synthetic_profile,
+            split="train" if training else "eval")
     images, labels = _subsample(images, labels, n_samples, random_sample,
                                 seed)
     ds = ArrayDataset(images, labels, CIFAR_MEAN, CIFAR_STD,
@@ -476,7 +508,8 @@ def Mnist(data_dir: str = "data", batch_size: int = 128,
         if not synthetic_fallback:
             raise
         images, labels = _synthetic_classification(
-            6000 if training else 1000, (28, 28, 1), 10, seed)
+            6000 if training else 1000, (28, 28, 1), 10, seed,
+            split="train" if training else "eval")
     ds = ArrayDataset(images, labels,
                       np.float32(0.1307), np.float32(0.3081))
     return DataLoader(ds, batch_size, shuffle and training,
@@ -512,7 +545,7 @@ def ImageNet(data_dir: str, batch_size: int = 64, shuffle: bool = True,
             raise FileNotFoundError(split_dir)
         images, labels = _synthetic_classification(
             n_samples or (2048 if training else 1024), (size, size, 3),
-            1000, seed)
+            1000, seed, split="train" if training else "eval")
         ds = ArrayDataset(images, labels, IMAGENET_MEAN, IMAGENET_STD,
                           train_augment=training)
     loader = DataLoader(ds, batch_size, shuffle and training,

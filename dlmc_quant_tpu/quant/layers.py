@@ -969,7 +969,9 @@ def calibrate(model, variables, batches, observe_passes: int = 0, **apply_kw):
     if observe_passes:
         for b in batches[:observe_passes]:
             upd = observe_fn(variables, b)
-            variables = {**variables, "qstate": upd["qstate"]}
+            if "qstate" in upd:     # absent when no quantizer keeps state
+                variables = {**variables, "qstate": upd["qstate"]}
     upd = cal_fn(variables, batches[0])
-    variables = {**variables, "qstate": upd["qstate"]}
+    if "qstate" in upd:
+        variables = {**variables, "qstate": upd["qstate"]}
     return merge_calibration(variables, upd.get("qcal", {}))

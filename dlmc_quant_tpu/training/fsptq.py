@@ -277,7 +277,8 @@ class FSPTQTrainer:
                  lrs: Optional[Dict[str, float]] = None,
                  block_types: Sequence[str] = DEFAULT_BLOCK_TYPES,
                  layer_names: Sequence[str] = DEFAULT_LAYER_NAMES,
-                 logger=None, disable_first_act_quant: bool = False):
+                 logger=None, disable_first_act_quant: bool = False,
+                 bn_recal: bool = True):
         self.model = model
         self.variables = flax.core.unfreeze(variables)
         self.fp_model = fp_model
@@ -300,9 +301,30 @@ class FSPTQTrainer:
                 self.model = disable_act_quant_on(self.model, path)
                 self.logger.info(
                     "disabled activation quant on first layer %s", path)
+        self.bn_recal = bn_recal and "batch_stats" in self.variables
+
+    def _refresh_bn(self, recalibrate_quantizers: bool):
+        """BN-stat re-estimation under quantization noise (see
+        training/ptq.py:bn_recalibrate — the frozen-stat mismatch
+        otherwise compounds block by block and reconstruction chases a
+        drifting input distribution).  Optionally re-runs quantizer
+        calibration afterwards: activation scales were observed under
+        the stale statistics."""
+        from dlmc_quant_tpu.quant.layers import calibrate
+        from dlmc_quant_tpu.training.ptq import bn_recalibrate
+
+        self.variables = bn_recalibrate(self.model, self.variables,
+                                        self.cal_batches)
+        if recalibrate_quantizers:
+            self.variables = flax.core.unfreeze(calibrate(
+                self.model, self.variables, self.cal_batches,
+                observe_passes=len(self.cal_batches)))
 
     def train(self) -> Dict:
         t0 = time.time()
+        if self.bn_recal:
+            self._refresh_bn(recalibrate_quantizers=True)
+            self.logger.info("BN statistics re-estimated pre-recon")
         targets = discover_blocks(self.model, self.variables,
                                   self.cal_batches[0],
                                   self.block_types, self.layer_names)
@@ -329,5 +351,10 @@ class FSPTQTrainer:
             losses[".".join(path)] = loss
             self.logger.info("block %-16s recon l2=%.5f",
                              ".".join(path), loss)
+        if self.bn_recal:
+            # reconstruction moved scales/γ/β; align the running stats
+            # with the final deployed forward (quantizer params stay)
+            self._refresh_bn(recalibrate_quantizers=False)
+            self.logger.info("BN statistics re-estimated post-recon")
         self.logger.info("reconstruction done in %.1fs", time.time() - t0)
         return {"variables": self.variables, "block_losses": losses}

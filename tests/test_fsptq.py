@@ -118,3 +118,40 @@ class TestAdaRoundRegularizer:
         from dlmc_quant_tpu.training.fsptq import _has_alpha
         assert _has_alpha({"a": {"alpha": 1}})
         assert not _has_alpha({"a": {"wt_scale": 1}})
+
+
+class TestBNRecalibration:
+    def test_bn_stats_refresh_under_quantization(self):
+        """Quantized weights shift pre-BN distributions; bn_recalibrate
+        must move running stats toward the quantized forward's actual
+        statistics (the W4 frozen-BN mismatch fix)."""
+        from dlmc_quant_tpu.models import get_model
+        from dlmc_quant_tpu.training.ptq import bn_recalibrate
+
+        model = get_model("cifar_resnet20", num_classes=10,
+                          scheme=_fsptq_scheme(n_bits=4))
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 32, 32, 3))
+        v = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+        v = calibrate(model, v, [x])
+        v2 = bn_recalibrate(model, v, [x], min_updates=50)
+        # stats moved
+        m0 = v["batch_stats"]["bn1"]["mean"]
+        m1 = v2["batch_stats"]["bn1"]["mean"]
+        assert float(jnp.max(jnp.abs(m1 - m0))) > 1e-6
+        # converged to the quantized forward's batch stats: one more
+        # train-mode forward barely changes them
+        _, upd = model.apply(v2, x, train=True, qmode="eval",
+                             mutable=["batch_stats"])
+        m2 = upd["batch_stats"]["bn1"]["mean"]
+        drift0 = float(jnp.max(jnp.abs(m1 - m0)))
+        # EMA update is m*0.9 + batch*0.1 -> residual step must be tiny
+        # relative to the initial correction
+        assert float(jnp.max(jnp.abs(m2 - m1))) < 0.2 * max(drift0, 1e-6)
+        # model without BN passes through unchanged
+        dm = get_model("RepVGG_A0", num_classes=10,
+                       scheme=_fsptq_scheme(), deploy=True)
+        dx = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 3))
+        dvars = jax.jit(dm.init)(jax.random.PRNGKey(3), dx)
+        dvars = calibrate(dm, dvars, [dx])
+        out = bn_recalibrate(dm, dvars, [dx])
+        assert "batch_stats" not in out

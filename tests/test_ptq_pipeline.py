@@ -114,6 +114,9 @@ def tiny_ptq_config():
         "loss": "cross_entropy",
         "metrics": ["accuracy"],
         "observe_passes": 2,
+        # fidelity test below compares against the fp32 eval on the
+        # checkpoint's ORIGINAL BN stats; stat refresh is tested apart
+        "bn_recal": False,
     }
 
 
@@ -126,6 +129,15 @@ class TestPTQPipeline:
             / res["fp32"]["loss"] < 0.05
         # quantizer params materialized
         assert "wt_scale" in res["variables"]["params"]["conv1"]
+
+    def test_e2e_bn_recal_improves_loss(self, tiny_ptq_config):
+        # with stat refresh on (default), the quantized model's BN
+        # statistics match the data — on an untrained net (init stats
+        # mean 0 / var 1) that strictly reduces eval loss
+        cfg = dict(tiny_ptq_config)
+        cfg["bn_recal"] = True
+        res = run_ptq(cfg)
+        assert res["quant"]["loss"] < res["fp32"]["loss"]
 
     def test_e2e_checkpoint_roundtrip(self, tiny_ptq_config, tmp_path):
         from dlmc_quant_tpu.utils.checkpoint import (load_checkpoint,
