@@ -164,49 +164,43 @@ def _bench_model(name: str, batch: int, **model_kw):
     return _throughput_pair(int8_fn, fp_fn, x)
 
 
-def _bench_int_only(name: str, batch: int, w_bits: int = 8, **model_kw):
-    """Best-of-ROUNDS int8 throughput, no fp32 pairing (extras)."""
-    model, variables, x = _prep(name, batch, w_bits=w_bits, **model_kw)
-    fn = _int8_fn(model, variables, x)
-    for _ in range(WARMUP):
-        y = fn(x)
-    float(jnp.sum(y))
-    return max(_one_round(fn, x) for _ in range(ROUNDS))
-
-
 def main():
     _measure_fence()
     ips_int8, ips_fp32 = _bench_model("RepVGG_A0", BATCH, deploy=True)
     extra = {"fp32_ips": round(ips_fp32, 1), "batch": BATCH,
              "fence_ms": round(FENCE_S * 1e3, 2)}
+    # Every extra pairs the quantized path with the SAME model's fp32
+    # forward on the same chip (interleaved rounds), so vs_baseline
+    # discipline is universal — any model where int8 loses shows a
+    # ratio < 1 here and gets a sentence in the engine note
+    # (quant/deploy.py).
     for key, fn in (
         # second headline model per BASELINE.json's metric spec —
         # deploy (BN-folded) form with chained residual boundaries
-        ("resnet50", lambda: _bench_model("resnet50", 256, deploy=True)),
+        ("resnet50_int8",
+         lambda: _bench_model("resnet50", 256, deploy=True)),
         # BASELINE config #4's model: MobileOne-S1 deploy form, W8A8
         # and W4A8 (native-S4 weight storage)
-        ("mobileone_s1_int8_ips",
-         lambda: _bench_int_only("mobileone_s1", 256, deploy=True)),
-        ("mobileone_s1_w4a8_ips",
-         lambda: _bench_int_only("mobileone_s1", 256, w_bits=4,
-                                 deploy=True)),
+        ("mobileone_s1_int8",
+         lambda: _bench_model("mobileone_s1", 256, deploy=True)),
+        ("mobileone_s1_w4a8",
+         lambda: _bench_model("mobileone_s1", 256, w_bits=4,
+                              deploy=True)),
         # SE variant: SEBlock materializes the chain (models/repvgg.py)
-        ("repvgg_d2se_int8_ips",
-         lambda: _bench_int_only("RepVGG_D2se", 64, deploy=True)),
+        ("repvgg_d2se_int8",
+         lambda: _bench_model("RepVGG_D2se", 64, deploy=True)),
         # BASELINE config #2's model, BN-folded deploy twin with
         # ReLU6-chained linear-bottleneck residuals (models/fuse.py:
         # mobilenet_deploy builds it from a trained model; here the
         # deploy=True form is benched directly)
-        ("mobilenet_v2_int8_ips",
-         lambda: _bench_int_only("mobilenet_v2", 256, deploy=True)),
+        ("mobilenet_v2_int8",
+         lambda: _bench_model("mobilenet_v2", 256, deploy=True)),
     ):
         try:
-            r = fn()
-            if key == "resnet50":
-                extra["resnet50_int8_ips"] = round(r[0], 1)
-                extra["resnet50_fp32_ips"] = round(r[1], 1)
-            else:
-                extra[key] = round(r, 1)
+            q_ips, fp_ips = fn()
+            extra[f"{key}_ips"] = round(q_ips, 1)
+            extra[f"{key}_fp32_ips"] = round(fp_ips, 1)
+            extra[f"{key}_vs_fp32"] = round(q_ips / fp_ips, 3)
         except Exception as e:   # never fail the headline on an extra
             extra[f"{key}_error"] = str(e)[:120]
 

@@ -24,6 +24,8 @@ import numpy as np
 
 import flax
 
+from dlmc_quant_tpu.utils.bidict import BiDict
+
 
 def _load_state_dict(path):
     import torch
@@ -77,6 +79,25 @@ def _flax_streams(variables):
             seen.add(mod)
             bns.append(mod)
     return convs, linears, bns, params, stats
+
+
+def build_name_mapping(variables, sd) -> BiDict:
+    """Call-order flax-path ↔ torch-module-name mapping as a
+    :class:`~dlmc_quant_tpu.utils.bidict.BiDict`.
+
+    Forward lookup ``m['layer1_0.conv1']`` gives the torch module name;
+    reverse lookup ``m[:'layer1.0.conv1']`` recovers the flax path —
+    useful for auditing a structural match and for exporting back.
+    ref: dlmc/utils/bidict.py:4-21 (the reverse-lookup idiom).
+    """
+    t_convs, t_linears, t_bns = _torch_streams(sd)
+    f_convs, f_linears, f_bns, _, _ = _flax_streams(variables)
+    m = BiDict()
+    for ours, theirs in ((f_convs, t_convs), (f_linears, t_linears),
+                         (f_bns, t_bns)):
+        for fpath, entry in zip(ours, theirs):
+            m[".".join(fpath)] = entry[0]
+    return m
 
 
 def import_torch_checkpoint(path, model, variables,

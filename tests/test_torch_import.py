@@ -9,7 +9,8 @@ torch = pytest.importorskip("torch")
 
 from dlmc_quant_tpu.models import get_model
 from dlmc_quant_tpu.utils.bidict import BiDict
-from dlmc_quant_tpu.utils.torch_import import import_torch_checkpoint
+from dlmc_quant_tpu.utils.torch_import import (build_name_mapping,
+                                               import_torch_checkpoint)
 
 
 class TestBiDict:
@@ -85,6 +86,18 @@ class TestTorchImport:
             y_torch = tnet(torch.from_numpy(
                 x.transpose(0, 3, 1, 2))).numpy()
         np.testing.assert_allclose(y_flax, y_torch, rtol=1e-4, atol=1e-5)
+
+    def test_name_mapping_bidirectional(self):
+        tnet = _torch_tiny_resnetish()
+        sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+        fnet = _flax_tiny()
+        v = fnet.init(jax.random.PRNGKey(0), jnp.ones((1, 16, 16, 3)))
+        m = build_name_mapping(v, sd)
+        assert m["conv1"] == "conv1"
+        assert m["fc"] == "fc"
+        # reverse lookup: torch name → flax path (BiDict slice idiom)
+        assert m[:"conv2"] == "conv2"
+        assert m[:"bn1"] == "bn1"
 
     def test_stream_mismatch_raises(self, tmp_path):
         tnet = _torch_tiny_resnetish()
