@@ -416,17 +416,23 @@ def _synthetic_classification(n: int, image_size, num_classes: int,
     srng = np.random.default_rng((seed, 0 if split == "train" else 1))
     labels = srng.integers(0, num_classes, n)
     if profile == "hard":
-        # shared basis: classes differ only through k-dim mixing
-        # coefficients -> pairwise prototype distances are small and
-        # graded; strong iid noise pushes the Bayes boundary near the
-        # network's reach instead of far from it
-        k = 12
-        basis = rng.normal(0.0, 1.0, (k, h, w, c)).astype(np.float32)
+        # shared LOW-FREQUENCY basis (generated at base-res, nearest-
+        # upsampled): classes differ only through k-dim mixing
+        # coefficients, so pairwise prototype distances are small and
+        # graded, and the smooth patterns survive the train transform's
+        # pad-crop shifts; strong iid noise pushes the decision
+        # boundaries near the network's reach instead of far from it.
+        # amp=1.7 tuned on cifar_resnet20 (tools/tune_hard_task.py:
+        # amp 1.6 → 86.5%, 1.8 → 92.2% fp32 at 10 epochs / 100 classes)
+        k, amp, sigma, base = 16, 1.7, 0.30, 8
+        lo = rng.normal(0.0, 1.0, (k, base, base, c)).astype(np.float32)
+        basis = lo[:, (np.arange(h) * base) // h][
+            :, :, (np.arange(w) * base) // w]
         basis /= np.linalg.norm(basis.reshape(k, -1), axis=1).reshape(
             k, 1, 1, 1)
         coef = rng.normal(0.0, 1.0, (num_classes, k)).astype(np.float32)
-        protos = 0.5 + 1.1 * np.einsum("mk,khwc->mhwc", coef, basis)
-        images = protos[labels] + srng.normal(0, 0.35, (n, h, w, c))
+        protos = 0.5 + amp * np.einsum("mk,khwc->mhwc", coef, basis)
+        images = protos[labels] + srng.normal(0, sigma, (n, h, w, c))
     else:
         protos = rng.normal(0.5, 0.25,
                             (num_classes, h, w, c)).astype(np.float32)

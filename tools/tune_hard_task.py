@@ -80,12 +80,9 @@ def run(num_classes, k, amp, noise, base, epochs=10):
 
 if __name__ == "__main__":
     cands = [
-        (100, 16, 2.0, 0.30, 8),
-        (100, 16, 3.0, 0.30, 8),
-        (100, 16, 4.0, 0.30, 8),
-        (100, 16, 3.0, 0.20, 8),
-        (10, 12, 1.5, 0.30, 8),
-        (10, 12, 2.5, 0.30, 8),
+        (100, 16, 1.6, 0.30, 8),
+        (100, 16, 1.8, 0.30, 8),
+        (100, 16, 2.0, 0.35, 8),
     ]
     for c in cands:
         run(*c)
