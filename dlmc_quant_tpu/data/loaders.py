@@ -245,7 +245,8 @@ class ImageFolderDataset:
     """
 
     def __init__(self, paths, labels, size: int = 224, mean=None, std=None,
-                 train_augment: bool = False, num_workers: int = 8):
+                 train_augment: bool = False, num_workers: int = 8,
+                 native_decode: Optional[bool] = None):
         self.paths = list(paths)
         self.labels = np.asarray(labels, np.int32)
         self.size = size
@@ -253,6 +254,10 @@ class ImageFolderDataset:
         self.std = std
         self.train_augment = train_augment
         self.num_workers = max(int(num_workers), 1)
+        if native_decode is None:
+            from dlmc_quant_tpu.data import native
+            native_decode = native.jpeg_available()
+        self.native_decode = bool(native_decode)
         self._pool = None
 
     def __len__(self):
@@ -298,7 +303,14 @@ class ImageFolderDataset:
             cw, ch = w, h
         return (w - cw) // 2, (h - ch) // 2, cw, ch
 
-    def _decode_train(self, path, left, top, cw, ch, flip):
+    def _decode_train(self, path, left, top, cw, ch, flip,
+                      data: Optional[bytes] = None):
+        if data is not None:
+            from dlmc_quant_tpu.data import native
+            out = native.jpeg_decode_resize(
+                data, (left, top, cw, ch), (self.size, self.size), flip)
+            if out is not None:
+                return out
         from PIL import Image
         im = Image.open(path).convert("RGB")
         im = im.resize((self.size, self.size), Image.BILINEAR,
@@ -307,9 +319,27 @@ class ImageFolderDataset:
         return a[:, ::-1] if flip else a
 
     def _decode_eval(self, path):
-        from PIL import Image
         size = self.size
         resize = int(size / 0.875)
+        from dlmc_quant_tpu.data import native
+        if self.native_decode and native.jpeg_available():
+            # resize-shorter-side-then-center-crop expressed as one
+            # fused crop+resize: crop box of side min(w,h)*size/resize,
+            # centered, resized to (size, size)
+            try:
+                data = Path(path).read_bytes()
+            except OSError:
+                data = None
+            dims = native.jpeg_dims(data) if data else None
+            if dims is not None:
+                w, h = dims
+                side = round(min(w, h) * size / resize)
+                left, top = (w - side) // 2, (h - side) // 2
+                out = native.jpeg_decode_resize(
+                    data, (left, top, side, side), (size, size))
+                if out is not None:
+                    return out
+        from PIL import Image
         im = Image.open(path).convert("RGB")
         w, h = im.size
         scale = resize / min(w, h)
@@ -335,18 +365,43 @@ class ImageFolderDataset:
             child_rngs = rng.spawn(len(idx))
 
             def job(i, r):
-                from PIL import Image
+                from dlmc_quant_tpu.data import native
                 p = self.paths[i]
-                with Image.open(p) as im:
-                    w, h = im.size
+                data = dims = None
+                if self.native_decode and native.jpeg_available():
+                    try:
+                        data = Path(p).read_bytes()
+                        dims = native.jpeg_dims(data)
+                    except OSError:
+                        data = None
+                if dims is not None:
+                    w, h = dims
+                else:
+                    from PIL import Image
+                    with Image.open(p) as im:
+                        w, h = im.size
+                    data = None
                 left, top, cw, ch = self._rrc_params(w, h, r)
                 flip = bool(r.random() < 0.5)
-                return self._decode_train(p, left, top, cw, ch, flip)
+                return self._decode_train(p, left, top, cw, ch, flip,
+                                          data=data)
 
             imgs = list(pool.map(job, idx, child_rngs))
         else:
             imgs = list(pool.map(self._decode_eval,
                                  [self.paths[i] for i in idx]))
+        from dlmc_quant_tpu.data import native
+        if native.available():
+            # fused threaded u8→f32 + normalize (augment.cpp): the
+            # single-threaded numpy stack+normalize tail measured
+            # ~230 ms per 128×224² batch — a ~560 img/s ceiling all by
+            # itself — so it runs through the native pass instead
+            batch = np.stack(imgs)
+            x = native.augment_gather(batch,
+                                      np.arange(len(imgs), dtype=np.int64),
+                                      mean=self.mean, std=self.std,
+                                      scale255=True)
+            return x, self.labels[idx]
         x = np.stack(imgs).astype(np.float32) / 255.0
         if self.mean is not None:
             x = (x - self.mean) / self.std
@@ -527,7 +582,8 @@ def ImageNet(data_dir: str, batch_size: int = 64, shuffle: bool = True,
              n_samples: Optional[int] = None, random_sample: bool = False,
              validation_split: float = 0.0, num_workers: int = 8,
              synthetic_fallback: bool = True, seed: int = 0,
-             prefetch_depth: int = 2) -> DataLoader:
+             prefetch_depth: int = 2,
+             native_decode: Optional[bool] = None) -> DataLoader:
     """Streaming ImageFolder loader: per-batch JPEG decode on worker
     threads, RandomResizedCrop+flip train transform / Resize+CenterCrop
     eval transform, O(batch) memory — never materializes the split
@@ -545,7 +601,8 @@ def ImageNet(data_dir: str, batch_size: int = 64, shuffle: bool = True,
         ds = ImageFolderDataset(paths, labels, size,
                                 IMAGENET_MEAN, IMAGENET_STD,
                                 train_augment=training,
-                                num_workers=num_workers or 8)
+                                num_workers=num_workers or 8,
+                                native_decode=native_decode)
     else:
         if not synthetic_fallback:
             raise FileNotFoundError(split_dir)

@@ -128,3 +128,95 @@ def augment_gather(images: np.ndarray, idx: np.ndarray, *,
     if rc != 0:
         raise RuntimeError(f"dlmcq_augment failed with rc={rc}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# native JPEG decode (separate .so: needs -ljpeg, which may be absent)
+# ---------------------------------------------------------------------------
+
+_JPEG_SRC = _HERE / "jpegdec.cpp"
+_JPEG_LIB = _HERE / "_libdlmcq_jpeg.so"
+_jpeg_lock = threading.Lock()
+_jpeg_lib = None
+_jpeg_tried = False
+
+
+def _jpeg_build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(_JPEG_LIB), str(_JPEG_SRC), "-ljpeg"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _jpeg_load():
+    global _jpeg_lib, _jpeg_tried
+    with _jpeg_lock:
+        if _jpeg_lib is not None or _jpeg_tried:
+            return _jpeg_lib
+        _jpeg_tried = True
+        if os.environ.get("DLMCQ_NO_NATIVE") == "1":
+            return None
+        try:
+            if (not _JPEG_LIB.exists()
+                    or _JPEG_LIB.stat().st_mtime < _JPEG_SRC.stat().st_mtime):
+                if not _jpeg_build():
+                    return None
+            lib = ctypes.CDLL(str(_JPEG_LIB))
+            lib.dlmcq_jpeg_abi_version.restype = ctypes.c_int
+            if lib.dlmcq_jpeg_abi_version() != 1:
+                return None
+            lib.dlmcq_jpeg_dims.restype = ctypes.c_int
+            lib.dlmcq_jpeg_dims.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.dlmcq_decode_resize.restype = ctypes.c_int
+            lib.dlmcq_decode_resize.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+            _jpeg_lib = lib
+        except OSError:
+            _jpeg_lib = None
+        return _jpeg_lib
+
+
+def jpeg_available() -> bool:
+    return _jpeg_load() is not None
+
+
+def jpeg_dims(data: bytes):
+    """(width, height) from a JPEG byte buffer, or None on failure."""
+    lib = _jpeg_load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.dlmcq_jpeg_dims(data, len(data), ctypes.byref(w),
+                           ctypes.byref(h)) != 0:
+        return None
+    return w.value, h.value
+
+
+def jpeg_decode_resize(data: bytes, crop, out_size, flip: bool = False):
+    """Decode + crop + bilinear resize a JPEG buffer natively.
+
+    ``crop`` is (left, top, w, h) in original image coordinates or None
+    for the full frame; ``out_size`` is (out_h, out_w).  Uses libjpeg
+    DCT scaling (1/2..1/8 decode) when the target is much smaller.
+    Returns u8 RGB (out_h, out_w, 3), or None on failure (caller falls
+    back to PIL).  The ctypes call releases the GIL, so the Python
+    decode pool parallelizes across cores.
+    """
+    lib = _jpeg_load()
+    if lib is None:
+        return None
+    oh, ow = out_size
+    cl, ct, cw, ch = crop if crop is not None else (0, 0, -1, -1)
+    out = np.empty((oh, ow, 3), np.uint8)
+    rc = lib.dlmcq_decode_resize(data, len(data), int(cl), int(ct),
+                                 int(cw), int(ch), int(ow), int(oh),
+                                 int(bool(flip)), _ptr(out))
+    return out if rc == 0 else None

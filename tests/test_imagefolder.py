@@ -81,6 +81,7 @@ def test_eval_transform_matches_reference_semantics(folder):
     hand-rolled PIL computation (ref: data_loaders.py:71-77)."""
     size = 32
     loader = ImageNet(str(folder), batch_size=4, training=False, size=size,
+                      native_decode=False,
                       synthetic_fallback=False, shuffle=False,
                       prefetch_depth=0)
     paths, labels, _ = scan_image_folder(folder / "val")

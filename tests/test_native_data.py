@@ -88,3 +88,63 @@ def test_prefetch_loader_same_batches():
     for (x1, y1), (x2, y2) in zip(plain, pre):
         np.testing.assert_array_equal(y1, y2)
         np.testing.assert_allclose(x1, x2)
+
+
+class TestNativeJpegDecode:
+    """Native libjpeg decode stage (data/native/jpegdec.cpp)."""
+
+    @staticmethod
+    def _jpeg_bytes(img):
+        import io
+
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=95)
+        return buf.getvalue()
+
+    @staticmethod
+    def _smooth(seed=0, size=256):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(128, 40, (8, 8, 3)).clip(0, 255)
+        return np.kron(base, np.ones((size // 8, size // 8, 1)))[
+            :size, :size].astype(np.uint8)
+
+    def test_dims_and_full_resize_close_to_pil(self):
+        import io
+
+        from PIL import Image
+
+        from dlmc_quant_tpu.data import native
+        if not native.jpeg_available():
+            pytest.skip("libjpeg not available")
+        data = self._jpeg_bytes(self._smooth())
+        assert native.jpeg_dims(data) == (256, 256)
+        out = native.jpeg_decode_resize(data, None, (224, 224))
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB")
+                         .resize((224, 224), Image.BILINEAR))
+        assert out.shape == (224, 224, 3)
+        assert np.abs(out.astype(int) - pil.astype(int)).mean() < 2.0
+
+    def test_crop_flip_close_to_pil(self):
+        import io
+
+        from PIL import Image
+
+        from dlmc_quant_tpu.data import native
+        if not native.jpeg_available():
+            pytest.skip("libjpeg not available")
+        data = self._jpeg_bytes(self._smooth(seed=1))
+        out = native.jpeg_decode_resize(data, (32, 16, 128, 128),
+                                        (112, 112), flip=True)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB")
+                         .resize((112, 112), Image.BILINEAR,
+                                 box=(32, 16, 160, 144)))[:, ::-1]
+        assert np.abs(out.astype(int) - pil.astype(int)).mean() < 2.0
+
+    def test_invalid_data_returns_none(self):
+        from dlmc_quant_tpu.data import native
+        if not native.jpeg_available():
+            pytest.skip("libjpeg not available")
+        assert native.jpeg_decode_resize(b"not a jpeg", None,
+                                         (32, 32)) is None
+        assert native.jpeg_dims(b"junk") is None
