@@ -84,19 +84,45 @@ import numpy as np
 # isolation; the late stages run 2–3×.  Whole-model beats the isolated
 # sum because boundary epilogues fuse into producers.
 #
+# ResNet-50 ceiling analysis (round-5 measurement session,
+# tools/resnet50_mixed.py + resnet_layerbench.py, fence-corrected):
+# the "35% of 394 TOP/s int8 peak" framing uses the WRONG ceiling.
+# ResNet-50's body is 2/3 1×1 convs; in int8-resident form the model
+# moves ~25 MB of activation codes per image, so the HBM roofline
+# (819 GB/s on v5e) caps it at ~27-37k img/s regardless of MXU rate —
+# at 16.4k img/s (15.6 ms / 256-image batch vs an ~8-13 ms
+# traffic+MXU lower bound) the engine sits at ~50-65% of the model's
+# REAL speed-of-light, not 35%.  Options measured and rejected:
+#   * batch 512:            15.9k img/s (no gain — not tile-bound)
+#   * stage-1 in bf16 (weight-only quant, stages 2-4 int8 chained):
+#     12.3k img/s — the f32/bf16 stage-1 boundary tensors cost more
+#     HBM traffic than the int8 MXU underutilization they avoid.
+#   * isolated-layer timing is floor-dominated (launch + unfused
+#     requantize): the whole model runs 28.9 ms of "isolated conv
+#     time" in 15.6 ms, so per-layer TOP/s understate the fused graph.
+# Closing the remaining ~1.5× needs cross-layer fusion that keeps
+# 56×56 activations in VMEM across the 1×1→3×3→1×1 bottleneck (a
+# block-resident Pallas megakernel) — out of scope this round; the
+# rpconv experience (0.74× XLA on plain convs) says the win is not
+# assured.
+#
 # W4A8 (native-S4 weights): MobileOne-S1 measures 42.6k img/s vs 42.5k
 # W8A8 — parity, NOT faster: at batch 256 these models are activation-
 # bound, so halving weight HBM traffic doesn't move throughput.  W4's
 # value here is the memory footprint (weights half-size in HBM), not
 # speed; recorded honestly per the A/B rule above.
 #
-# Host data-pipeline ceiling (tools/loaderbench.py, quiet box): the
-# PIL-decode ImageFolder path sustains ~290-390 img/s/host (train w/
-# parallel header probe + RandomResizedCrop).  A single v5e chip
-# consuming 77k img/s therefore needs ~200 loader hosts or a native
-# decode path — the C++ fused-augment stage (data/native) covers the
-# in-memory path; JPEG decode remains PIL.  Stated so the E2E serving
-# story is honest about where the bottleneck moves.
+# Host data-pipeline ceiling (tools/loaderbench.py): with the native
+# libjpeg decode stage (data/native/jpegdec.cpp — DCT-scaled decode +
+# fused crop/resize/flip) and the threaded C++ batch normalize, the
+# ImageFolder path sustains ~500 img/s train / ~540 eval on THIS
+# 2-CPU box (PIL + numpy-normalize measured 290-440).  Per-core:
+# native decode 385 img/s vs PIL 289 (noisy worst-case 500×375 JPEGs);
+# the old single-threaded numpy stack+normalize tail alone capped the
+# pipeline at ~560 img/s and is gone.  Decode scales with cores: a
+# 32-core loader host projects to ~12k img/s, so a 78k img/s chip
+# needs ~6-7 such hosts (was ~200 with the PIL path).  Stated so the
+# E2E serving story is honest about where the bottleneck moves.
 
 # Opt-in: rewrite 3x3/s2 small-channel stems as space-to-depth 2x2/s1
 # convs (see layers._s2d_conv).  Exact, but measured slightly slower on
