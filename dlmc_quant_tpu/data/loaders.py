@@ -477,9 +477,11 @@ def _synthetic_classification(n: int, image_size, num_classes: int,
         # graded, and the smooth patterns survive the train transform's
         # pad-crop shifts; strong iid noise pushes the decision
         # boundaries near the network's reach instead of far from it.
-        # amp=1.7 tuned on cifar_resnet20 (tools/tune_hard_task.py:
-        # amp 1.6 → 86.5%, 1.8 → 92.2% fp32 at 10 epochs / 100 classes)
-        k, amp, sigma, base = 16, 1.7, 0.30, 8
+        # tuned on cifar_resnet20 at the protocol's 30-epoch schedule
+        # (tools/tune_hard_task.py): the 30-epoch asymptote is set by
+        # the noise, not amp — (1.5, σ=0.30) → 96.7%, (1.5, σ=0.40) →
+        # 90.45% fp32.  σ=0.40 lands mid-band.
+        k, amp, sigma, base = 16, 1.5, 0.40, 8
         lo = rng.normal(0.0, 1.0, (k, base, base, c)).astype(np.float32)
         basis = lo[:, (np.arange(h) * base) // h][
             :, :, (np.arange(w) * base) // w]

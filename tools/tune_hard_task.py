@@ -80,9 +80,8 @@ def run(num_classes, k, amp, noise, base, epochs=10):
 
 if __name__ == "__main__":
     cands = [
-        (100, 16, 1.6, 0.30, 8),
-        (100, 16, 1.8, 0.30, 8),
-        (100, 16, 2.0, 0.35, 8),
+        (100, 16, 1.5, 0.40, 8),
+        (100, 16, 1.5, 0.50, 8),
     ]
     for c in cands:
-        run(*c)
+        run(*c, epochs=30)
