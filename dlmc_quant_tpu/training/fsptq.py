@@ -237,30 +237,50 @@ def reconstruct_block(block: nn.Module, block_vars: Dict, x_cache, y_fp,
     use_reg = round_reg_lambda > 0 and _has_alpha(params)
     warmup = int(0.2 * iters)
 
-    @jax.jit
-    def step(params, opt_state, idx, lam, beta):
-        def loss_fn(p):
-            out = block.apply({"params": p, **rest}, x_cache[idx],
-                              qmode=train_qmode)
-            loss = l2_loss(out, y_fp[idx])
-            if use_reg:
-                loss = loss + lam * _round_reg(p, beta)
-            return loss
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
+    # Pre-draw every minibatch's indices and the regularizer schedule,
+    # then run ALL iterations on device in one lax.scan — one dispatch
+    # per block instead of `iters` (a Python step loop paid per-call
+    # dispatch latency on the TPU tunnel: ~300 ms × 800 iters ≈ 4 min
+    # per block; the scan runs the same work in seconds).
     rng = np.random.default_rng(seed)
-    loss = jnp.inf
-    for it in range(iters):
-        idx = jnp.asarray(rng.choice(n, min(batch_size, n), replace=False))
-        if use_reg and it >= warmup:
-            t = (it - warmup) / max(iters - warmup, 1)
-            lam = jnp.float32(round_reg_lambda)
-            beta = jnp.float32(20.0 - 18.0 * t)      # 20 -> 2
-        else:
-            lam, beta = jnp.float32(0.0), jnp.float32(20.0)
-        params, opt_state, loss = step(params, opt_state, idx, lam, beta)
+    bs = min(batch_size, n)
+    idx_all = jnp.asarray(
+        np.stack([rng.choice(n, bs, replace=False)
+                  for _ in range(iters)]).astype(np.int32))
+    it_ar = np.arange(iters, dtype=np.float32)
+    t_ar = np.clip((it_ar - warmup) / max(iters - warmup, 1), 0.0, None)
+    if use_reg:
+        lam_all = jnp.asarray(
+            np.where(it_ar >= warmup, round_reg_lambda, 0.0)
+            .astype(np.float32))
+        beta_all = jnp.asarray((20.0 - 18.0 * t_ar).astype(np.float32))
+    else:
+        lam_all = jnp.zeros(iters, jnp.float32)
+        beta_all = jnp.full(iters, 20.0, jnp.float32)
+
+    @jax.jit
+    def run(params, opt_state):
+        def body(carry, xs):
+            params, opt_state = carry
+            idx, lam, beta = xs
+
+            def loss_fn(p):
+                out = block.apply({"params": p, **rest}, x_cache[idx],
+                                  qmode=train_qmode)
+                loss = l2_loss(out, y_fp[idx])
+                if use_reg:
+                    loss = loss + lam * _round_reg(p, beta)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_all, lam_all, beta_all))
+        return params, losses[-1]
+
+    params, loss = run(params, opt_state)
     return params, float(loss)
 
 
