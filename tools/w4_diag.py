@@ -46,7 +46,7 @@ from dlmc_quant_tpu.training.metrics import get_metric  # noqa: E402
 from dlmc_quant_tpu.training.schedulers import CosineDecayLR  # noqa: E402
 from dlmc_quant_tpu.training.trainer import Trainer  # noqa: E402
 
-CKPT = Path("saved/w4diag_fp.npz")
+CKPT = Path("saved/w4diag_fp.npz")  # per-profile suffix applied in main()
 
 
 def make_scheme(wbits, wtype, act=True, recon=None):
@@ -85,14 +85,20 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--recon-iters", type=int, default=800)
     ap.add_argument("--retrain", action="store_true")
+    ap.add_argument("--profile", default="easy")
     args = ap.parse_args()
 
-    train_l = CIFAR10("data", batch_size=args.batch, training=True)
-    eval_l = CIFAR10("data", batch_size=args.batch, training=False)
+    n_classes = 100 if args.profile == "hard" else 10
+    kw = ({"synthetic_profile": "hard", "_n_classes": 100}
+          if args.profile == "hard" else {})
+    train_l = CIFAR10("data", batch_size=args.batch, training=True, **kw)
+    eval_l = CIFAR10("data", batch_size=args.batch, training=False, **kw)
     loss_fn = get_loss("cross_entropy")
     metrics = {"accuracy": get_metric("accuracy")}
-    model = get_model("cifar_resnet20", num_classes=10)
+    model = get_model("cifar_resnet20", num_classes=n_classes)
 
+    global CKPT
+    CKPT = Path(f"saved/w4diag_fp_{args.profile}.npz")
     if CKPT.exists() and not args.retrain:
         fp_vars = load_params(CKPT)
         print(f"loaded fp ckpt {CKPT}")
@@ -146,23 +152,26 @@ def main():
         else:
             from dlmc_quant_tpu.training.fsptq import (
                 disable_act_quant_on, first_quant_path)
+            from dlmc_quant_tpu.training.ptq import bn_recalibrate
             p = first_quant_path(qmodel, qvars, cal[0])
             if p:
                 qmodel = disable_act_quant_on(qmodel, p)
+            qvars = bn_recalibrate(qmodel, qvars, cal)
+            qvars = calibrate(qmodel, qvars, cal, observe_passes=len(cal))
         return evaluate(qmodel, qvars, eval_l, loss_fn, metrics,
                         qmode="eval")
 
     variants = [
-        ("W8A8 minmax cal-only",
+        ("W8A8 minmax cal-only+bnr",
          make_scheme(8, "minmax_channel"), 0),
-        ("W4 w-only minmax cal-only",
+        ("W4 w-only minmax cal-only+bnr",
          make_scheme(4, "minmax_channel", act=False), 0),
-        ("W4 w-only l2loss cal-only",
-         make_scheme(4, "l2loss_channel", act=False), 0),
-        ("W4A8 minmax cal-only",
+        ("W4A8 minmax cal-only+bnr",
          make_scheme(4, "minmax_channel"), 0),
-        ("W4A8 l2loss cal-only",
+        ("W4A8 l2loss cal-only+bnr",
          make_scheme(4, "l2loss_channel"), 0),
+        ("W4A8 minmax + recon",
+         make_scheme(4, "minmax_channel"), args.recon_iters),
         ("W4A8 l2loss + recon",
          make_scheme(4, "l2loss_channel"), args.recon_iters),
         ("W4A8 l2loss + recon + AdaRound",
