@@ -212,13 +212,24 @@ def reconstruct_block(block: nn.Module, block_vars: Dict, x_cache, y_fp,
                       iters: int = 2000, batch_size: int = 64,
                       lrs: Optional[Dict[str, float]] = None,
                       seed: int = 0, train_qmode: str = "train",
-                      round_reg_lambda: float = 0.01):
+                      round_reg_lambda: float = 0.01,
+                      holdout_frac: float = 0.25):
     """Adam + cosine reconstruction of one block against cached FP outputs.
 
     ref: fsptq_trainer.py:76-103.  Blocks with AdaRound ``alpha``
     params additionally get the β-annealed rounding regularizer
     (:func:`_round_reg`): warmup 20 % of iters with no regularization,
     then β anneals 20 → 2 (the AdaRound paper's schedule).
+
+    Unlike the reference, a ``holdout_frac`` slice of the cached set is
+    NEVER trained on; the returned params are the iterate with the best
+    held-out reconstruction l2 (evaluated every ~50 iters inside the
+    scan, in *eval* qmode so AdaRound's hard decision is scored), with
+    the initial calibrated params as iterate 0.  On data where fitting
+    the teacher's responses to 1024 images is fitting noise, the best
+    held-out iterate is an early one — reconstruction can then never
+    end WORSE than calibration (measured: default-LR recon cost 21
+    top-1 points on the noise-dominated synthetic task before this).
     """
     lrs = {**DEFAULT_GROUP_LRS, **(lrs or {})}
     params = block_vars["params"]
@@ -233,19 +244,26 @@ def reconstruct_block(block: nn.Module, block_vars: Dict, x_cache, y_fp,
     opt_state = tx.init(params)
 
     rest = {k: v for k, v in block_vars.items() if k != "params"}
-    n = x_cache.shape[0]
+    n_total = x_cache.shape[0]
+    # deterministic holdout split of the cached activations
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n_total)
+    n_hold = max(int(holdout_frac * n_total), 1) if holdout_frac > 0 else 0
+    hold_idx = jnp.asarray(perm[:n_hold].astype(np.int32))
+    train_idx = perm[n_hold:]
+    n = len(train_idx)
     use_reg = round_reg_lambda > 0 and _has_alpha(params)
     warmup = int(0.2 * iters)
+    eval_every = max(min(50, iters // 4), 1)
 
     # Pre-draw every minibatch's indices and the regularizer schedule,
     # then run ALL iterations on device in one lax.scan — one dispatch
     # per block instead of `iters` (a Python step loop paid per-call
     # dispatch latency on the TPU tunnel: ~300 ms × 800 iters ≈ 4 min
     # per block; the scan runs the same work in seconds).
-    rng = np.random.default_rng(seed)
     bs = min(batch_size, n)
     idx_all = jnp.asarray(
-        np.stack([rng.choice(n, bs, replace=False)
+        np.stack([train_idx[rng.choice(n, bs, replace=False)]
                   for _ in range(iters)]).astype(np.int32))
     it_ar = np.arange(iters, dtype=np.float32)
     t_ar = np.clip((it_ar - warmup) / max(iters - warmup, 1), 0.0, None)
@@ -257,12 +275,22 @@ def reconstruct_block(block: nn.Module, block_vars: Dict, x_cache, y_fp,
     else:
         lam_all = jnp.zeros(iters, jnp.float32)
         beta_all = jnp.full(iters, 20.0, jnp.float32)
+    check_all = jnp.asarray(
+        ((np.arange(iters) + 1) % eval_every == 0) if n_hold else
+        np.zeros(iters, bool))
+
+    def hold_l2(p):
+        out = block.apply({"params": p, **rest}, x_cache[hold_idx],
+                          qmode="eval")
+        return l2_loss(out, y_fp[hold_idx])
 
     @jax.jit
     def run(params, opt_state):
+        best0 = hold_l2(params) if n_hold else jnp.float32(jnp.inf)
+
         def body(carry, xs):
-            params, opt_state = carry
-            idx, lam, beta = xs
+            params, opt_state, best_l2, best_params = carry
+            idx, lam, beta, check = xs
 
             def loss_fn(p):
                 out = block.apply({"params": p, **rest}, x_cache[idx],
@@ -274,10 +302,22 @@ def reconstruct_block(block: nn.Module, block_vars: Dict, x_cache, y_fp,
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), loss
+            params = optax.apply_updates(params, updates)
+            if n_hold:
+                cur = jax.lax.cond(check, lambda: hold_l2(params),
+                                   lambda: jnp.float32(jnp.inf))
+                better = cur < best_l2
+                best_l2 = jnp.where(better, cur, best_l2)
+                best_params = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(better, p, b), best_params,
+                    params)
+            return (params, opt_state, best_l2, best_params), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (idx_all, lam_all, beta_all))
+        (params, _, best_l2, best_params), losses = jax.lax.scan(
+            body, (params, opt_state, best0, params),
+            (idx_all, lam_all, beta_all, check_all))
+        if n_hold:
+            return best_params, best_l2
         return params, losses[-1]
 
     params, loss = run(params, opt_state)
@@ -340,6 +380,24 @@ class FSPTQTrainer:
                 self.model, self.variables, self.cal_batches,
                 observe_passes=len(self.cal_batches)))
 
+    def _teacher_preds(self):
+        """FP teacher's argmax on the calibration batches (label-free
+        acceptance signal, like the reference's model-vs-fp_model
+        validation; ref: fsptq_trainer.py:104-132)."""
+        fn = jax.jit(lambda v, x: jnp.argmax(
+            self.fp_model.apply(v, x, qmode="fp"), -1))
+        return [fn(self.fp_variables, b) for b in self.cal_batches]
+
+    def _agreement(self, teacher_preds) -> float:
+        if not hasattr(self, "_agree_fn"):      # one trace, many calls
+            self._agree_fn = jax.jit(lambda v, x: jnp.argmax(
+                self.model.apply(v, x, qmode="eval"), -1))
+        hits = tot = 0
+        for b, t in zip(self.cal_batches, teacher_preds):
+            hits += int(jnp.sum(self._agree_fn(self.variables, b) == t))
+            tot += int(t.size)
+        return hits / max(tot, 1)
+
     def train(self) -> Dict:
         t0 = time.time()
         if self.bn_recal:
@@ -350,6 +408,21 @@ class FSPTQTrainer:
                                   self.block_types, self.layer_names)
         self.logger.info("reconstructing %d blocks: %s", len(targets),
                          [".".join(p) for p, _ in targets])
+        # Per-block acceptance: a block's reconstruction is kept only if
+        # the quantized model's agreement with the FP teacher does not
+        # drop.  Reconstruction minimizes output l2 on the calibration
+        # set; on data whose teacher responses are noise-dominated the
+        # l2-optimal params can be *accuracy-worse* (measured: -21
+        # top-1 on the hard synthetic task while per-block held-out l2
+        # improved) — this gate makes reconstruction never-worse-than-
+        # calibration, block by block, without labels.  The reference
+        # validates once at the end and keeps the best full model
+        # (fsptq_trainer.py:104-132); block granularity is strictly
+        # finer.
+        teacher_preds = self._teacher_preds()
+        agree = self._agreement(teacher_preds)
+        self.logger.info("teacher agreement after calibration: %.4f",
+                         agree)
         losses = {}
         for path, block in targets:
             x_cache, _ = capture_block_io(
@@ -364,17 +437,29 @@ class FSPTQTrainer:
                 sub = _get_subtree(self.variables.get(col, {}), path)
                 if sub:
                     block_vars[col] = sub
+            old_params = block_vars["params"]
             new_params, loss = reconstruct_block(
                 block, block_vars, x_cache, y_fp, self.iters,
                 self.batch_size, self.lrs)
             _set_subtree(self.variables["params"], path, new_params)
+            new_agree = self._agreement(teacher_preds)
+            if new_agree < agree:
+                _set_subtree(self.variables["params"], path, old_params)
+                self.logger.info(
+                    "block %-16s recon l2=%.5f REVERTED "
+                    "(agreement %.4f -> %.4f)", ".".join(path), loss,
+                    agree, new_agree)
+            else:
+                agree = new_agree
+                self.logger.info("block %-16s recon l2=%.5f kept "
+                                 "(agreement %.4f)", ".".join(path),
+                                 loss, agree)
             losses[".".join(path)] = loss
-            self.logger.info("block %-16s recon l2=%.5f",
-                             ".".join(path), loss)
         if self.bn_recal:
             # reconstruction moved scales/γ/β; align the running stats
             # with the final deployed forward (quantizer params stay)
             self._refresh_bn(recalibrate_quantizers=False)
             self.logger.info("BN statistics re-estimated post-recon")
-        self.logger.info("reconstruction done in %.1fs", time.time() - t0)
+        self.logger.info("reconstruction done in %.1fs (final teacher "
+                         "agreement %.4f)", time.time() - t0, agree)
         return {"variables": self.variables, "block_losses": losses}

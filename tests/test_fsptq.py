@@ -155,3 +155,39 @@ class TestBNRecalibration:
         dvars = calibrate(dm, dvars, [dx])
         out = bn_recalibrate(dm, dvars, [dx])
         assert "batch_stats" not in out
+
+
+class TestReconAcceptanceGate:
+    def test_harmful_recon_is_reverted(self, fused_repvgg, monkeypatch):
+        """If a block's reconstruction returns params that reduce
+        teacher agreement, the trainer must restore the calibrated
+        params for that block."""
+        import dlmc_quant_tpu.training.fsptq as fsptq_mod
+
+        dm, dv, x = fused_repvgg
+        scheme = _fsptq_scheme(n_bits=8)
+        qm = dataclasses.replace(dm, scheme=scheme)
+        qv = jax.jit(qm.init)(jax.random.PRNGKey(0), x)
+        import flax
+        qv = flax.core.unfreeze(qv)
+        flatq = flax.traverse_util.flatten_dict(qv["params"])
+        for k, v in flax.traverse_util.flatten_dict(dv["params"]).items():
+            flatq[k] = v
+        qv["params"] = flax.traverse_util.unflatten_dict(flatq)
+        qv = calibrate(qm, qv, [x])
+
+        def garbage_recon(block, block_vars, x_cache, y_fp, *a, **k):
+            bad = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p), block_vars["params"])
+            return bad, 0.0
+
+        monkeypatch.setattr(fsptq_mod, "reconstruct_block", garbage_recon)
+        tr = FSPTQTrainer(qm, qv, dm, dv, [x], iters=2)
+        before = jax.tree_util.tree_map(np.asarray, tr.variables["params"])
+        out = tr.train()
+        after = out["variables"]["params"]
+        # zeroed params would destroy agreement -> every block reverted
+        for (pa, la), (pb, lb) in zip(
+                flax.traverse_util.flatten_dict(before).items(),
+                flax.traverse_util.flatten_dict(after).items()):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
