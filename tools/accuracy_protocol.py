@@ -271,8 +271,11 @@ Dataset: {dataset_line}.
 Backend: {jax.default_backend()} ({jax.devices()[0].device_kind}).
 Protocol: {args.epochs}-epoch fp32 train (SGD+momentum, cosine decay,
 1-epoch warmup, wd 1e-4, {train_time:.0f}s) → 1024-image calibration →
-FSPTQ block reconstruction ({args.recon_iters} iters/block,
-first-conv act quant off) → top-1 on the held-out split.
+BN-statistics recalibration under quantization (training/ptq.py:
+bn_recalibrate) → FSPTQ block reconstruction ({args.recon_iters}
+iters/block, first-conv act quant off, 25% held-out best-iterate +
+per-block teacher-agreement acceptance gate) → top-1 on the held-out
+split.
 Config: W8A8 = per-channel minmax weights + per-tensor unsigned minmax
 activations; W4A8 = same with 4-bit weights (first conv + head kept
 8-bit); the AdaRound row trains soft rounding during reconstruction
