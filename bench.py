@@ -154,13 +154,22 @@ def _bench_model(name: str, batch: int, **model_kw):
 
     model, variables, x = _prep(name, batch, **model_kw)
     int8_fn = _int8_fn(model, variables, x)
-    # fp32 baseline: fastest of the two dispatch forms (see module doc)
-    fp_cap = make_serving_fn(model, variables, qmode="fp")
+    # fp32 baseline: fastest of the two dispatch forms (see module doc).
+    # Large models (RepVGG-D2se: ~133M params -> >500 MB of captured
+    # f32 constants) exceed the tunnel's remote-compile body limit
+    # (HTTP 413) in captured form — fall back to arg-passing.
     fp_arg_ = jax.jit(lambda v, x: model.apply(v, x, qmode="fp"))
     fp_arg = lambda x: fp_arg_(variables, x)        # noqa: E731
-    float(jnp.sum(fp_cap(x))), float(jnp.sum(fp_arg(x)))
-    fp_fn = fp_cap if (_one_round(fp_cap, x, 8)
-                       > _one_round(fp_arg, x, 8)) else fp_arg
+    float(jnp.sum(fp_arg(x)))
+    try:
+        fp_cap = make_serving_fn(model, variables, qmode="fp")
+        float(jnp.sum(fp_cap(x)))
+        fp_fn = fp_cap if (_one_round(fp_cap, x, 8)
+                           > _one_round(fp_arg, x, 8)) else fp_arg
+    except Exception as e:
+        print(f"# bench: fp32 captured form unavailable for {name}: "
+              f"{e!r}"[:160], file=sys.stderr)
+        fp_fn = fp_arg
     return _throughput_pair(int8_fn, fp_fn, x)
 
 

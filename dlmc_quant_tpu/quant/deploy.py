@@ -112,6 +112,15 @@ import numpy as np
 # value here is the memory footprint (weights half-size in HBM), not
 # speed; recorded honestly per the A/B rule above.
 #
+# Where int8 LOSES (r5 fp32-paired extras, bench.py): MobileNetV2
+# deploy-form int8 = 42.8k img/s vs 50.1k fp32 (0.85×).  Depthwise
+# convs contract only 9 taps per output — no MXU win to amortize the
+# quantize/dequantize epilogues — and the inverted-bottleneck 1×1s
+# around them are HBM-bound where f32→int8 code conversion adds a pass.
+# MobileNetV2's int8 value is memory (4× smaller activations in HBM),
+# not speed; serve it fp32/bf16 when throughput is the objective.
+# MobileOne-S1 int8 wins 1.14× (its deploy form is dense 3×3/1×1).
+#
 # Host data-pipeline ceiling (tools/loaderbench.py): with the native
 # libjpeg decode stage (data/native/jpegdec.cpp — DCT-scaled decode +
 # fused crop/resize/flip) and the threaded C++ batch normalize, the
