@@ -119,7 +119,9 @@ import numpy as np
 # around them are HBM-bound where f32→int8 code conversion adds a pass.
 # MobileNetV2's int8 value is memory (4× smaller activations in HBM),
 # not speed; serve it fp32/bf16 when throughput is the objective.
-# MobileOne-S1 int8 wins 1.14× (its deploy form is dense 3×3/1×1).
+# MobileOne-S1 int8 wins 1.14× (its deploy form is dense 3×3/1×1);
+# RepVGG-D2se wins 1.54× (SE materialization dilutes the 1.9× of
+# plain RepVGG but the dense 3×3 trunk still dominates).
 #
 # Host data-pipeline ceiling (tools/loaderbench.py): with the native
 # libjpeg decode stage (data/native/jpegdec.cpp — DCT-scaled decode +
